@@ -1,0 +1,175 @@
+"""Configuration tree for poet_tpu.
+
+Mirrors every CLI flag of the reference (`/root/reference/main.py:33-189`) as a
+typed dataclass hierarchy instead of one flat argparse namespace. The flat CLI
+surface is preserved by `poet_tpu.cli`, which maps `--flag` spellings onto this
+tree, so reference users can switch with unchanged command lines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class OptimConfig:
+    # Reference: main.py:38-50
+    lr: float = 2e-4
+    lr_backbone_names: Tuple[str, ...] = ("backbone",)
+    lr_backbone: float = 2e-5
+    lr_linear_proj_names: Tuple[str, ...] = ("reference_points", "sampling_offsets")
+    lr_linear_proj_mult: float = 0.1
+    batch_size: int = 16
+    eval_batch_size: int = 16
+    weight_decay: float = 1e-4
+    epochs: int = 50
+    lr_drop: int = 100              # StepLR-equivalent drop interval (epochs)
+    lr_drop_epochs: Optional[Tuple[int, ...]] = None
+    clip_max_norm: float = 0.1
+    sgd: bool = False               # main.py:160 — SGD(momentum=0.9) instead of AdamW
+
+
+@dataclass
+class BackboneConfig:
+    # Reference: main.py:52-71
+    name: str = "maskrcnn"          # {maskrcnn, fasterrcnn, yolov4}
+    cfg_path: str = ""              # YAML (rcnn) / darknet cfg (yolov4)
+    weights: Optional[str] = None
+    conf_thresh: float = 0.4
+    iou_thresh: float = 0.5
+    agnostic_nms: bool = False
+    dilation: bool = False
+    position_embedding: str = "sine"     # {sine, learned}
+    position_embedding_scale: float = 2 * math.pi
+    num_feature_levels: int = 4
+    # static-shape detector caps (TPU: NMS/top-k must have fixed sizes)
+    max_detections: int = 100
+    input_size: Tuple[int, int] = (480, 640)   # (H, W), constant per config
+
+
+@dataclass
+class ModelConfig:
+    # Reference: main.py:73-105
+    bbox_mode: str = "gt"                 # {gt, backbone, jitter}
+    reference_points: str = "bbox"        # {bbox, learned}
+    query_embedding: str = "bbox"         # {bbox, learned}
+    rotation_representation: str = "6d"   # {6d, quat, silho_quat}
+    class_mode: str = "specific"          # {agnostic, specific}
+    enc_layers: int = 5
+    dec_layers: int = 5
+    dim_feedforward: int = 1024
+    hidden_dim: int = 256
+    dropout: float = 0.1
+    nheads: int = 16
+    num_queries: int = 10
+    dec_n_points: int = 4
+    enc_n_points: int = 4
+    aleatoric: bool = False
+    calibrate: bool = False
+    aux_loss: bool = True
+    n_classes: int = 21
+
+    @property
+    def rot_dim(self) -> int:
+        return 6 if self.rotation_representation == "6d" else 4
+
+
+@dataclass
+class MatcherConfig:
+    # Reference: main.py:107-114
+    matcher_type: str = "pose"
+    set_cost_class: float = 1.0
+    set_cost_bbox: float = 1.0
+    set_cost_giou: float = 2.0
+    giou_thresh: float = 0.5        # backbone-mode post filter (matcher.py:128)
+
+
+@dataclass
+class LossConfig:
+    # Reference: main.py:117-122
+    translation_loss_coef: float = 1.0
+    rotation_loss_coef: float = 1.0
+
+
+@dataclass
+class DataConfig:
+    # Reference: main.py:124-139
+    dataset: str = "ycbv"           # {ycbv, lmo}
+    dataset_path: str = "/data"
+    train_set: str = "train"
+    eval_set: str = "test"
+    synt_background: Optional[str] = None
+    jitter_probability: float = 0.5
+    rgb_augmentation: bool = False
+    grayscale: bool = False
+    num_workers: int = 0
+    cache_mode: bool = False
+
+
+@dataclass
+class EvalConfig:
+    # Reference: main.py:141-149
+    eval_interval: int = 10
+    class_info: str = "/annotations/classes.json"
+    models_path: str = "/models_eval/"
+    model_symmetry: str = "/annotations/symmetries.json"
+
+
+@dataclass
+class RuntimeConfig:
+    # Reference: main.py:151-187 (inference / misc / distributed)
+    inference: bool = False
+    inference_path: Optional[str] = None
+    inference_output: Optional[str] = None
+    save_interval: int = 5
+    output_dir: str = ""
+    seed: int = 42
+    resume: str = ""
+    start_epoch: int = 0
+    eval: bool = False
+    eval_bop: bool = False
+    # TPU runtime (replaces world_size/dist_url/NCCL flags): the mesh shape.
+    # data axis == data parallelism across all local + remote devices.
+    mesh_data: int = -1             # -1: use all devices
+    dtype: str = "float32"          # compute dtype for the transformer
+    donate_step: bool = True
+
+
+@dataclass
+class PoETConfig:
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "PoETConfig":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            sub = d.get(f.name, {})
+            sub_cls = f.default_factory  # type: ignore[misc]
+            sub_fields = {sf.name for sf in dataclasses.fields(sub_cls)}
+            kwargs[f.name] = sub_cls(**{k: _tupled(v) for k, v in sub.items() if k in sub_fields})
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PoETConfig":
+        return cls.from_dict(json.loads(s))
+
+
+def _tupled(v):
+    return tuple(v) if isinstance(v, list) else v

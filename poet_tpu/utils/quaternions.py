@@ -1,0 +1,88 @@
+"""Quaternion <-> rotation-matrix conversions (pure jnp, batched).
+
+Functional parity with `util/quaternion_ops.py` (numpy in the reference):
+quaternions are ordered (w, x, y, z); `rot2quat` uses the symmetric-K-matrix
+eigendecomposition (Bar-Itzhack) with the same largest-eigenvalue selection
+and w>=0 sign convention. Everything vectorises (jnp.linalg.eigh batches on
+device), so the reference's per-row Python loop disappears.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat2rot(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) (w, x, y, z) -> (..., 3, 3). Parity: util/quaternion_ops.py:10-60.
+
+    Uses the same 2*(...)-1 form as the reference, which assumes unit norm.
+    """
+    q0, q1, q2, q3 = jnp.moveaxis(q, -1, 0)
+    r00 = 2 * (q0 * q0 + q1 * q1) - 1
+    r01 = 2 * (q1 * q2 - q0 * q3)
+    r02 = 2 * (q1 * q3 + q0 * q2)
+    r10 = 2 * (q1 * q2 + q0 * q3)
+    r11 = 2 * (q0 * q0 + q2 * q2) - 1
+    r12 = 2 * (q2 * q3 - q0 * q1)
+    r20 = 2 * (q1 * q3 - q0 * q2)
+    r21 = 2 * (q2 * q3 + q0 * q1)
+    r22 = 2 * (q0 * q0 + q3 * q3) - 1
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rot2quat(rots: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 4) (w, x, y, z). Parity: util/quaternion_ops.py:63-91.
+
+    Builds the lower-triangular symmetric K matrix, takes the eigenvector of
+    the largest eigenvalue (eigh returns ascending order, so column -1), and
+    flips sign so w >= 0.
+    """
+    m = rots
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    zero = jnp.zeros_like(m00)
+    K = jnp.stack(
+        [
+            jnp.stack([m00 - m11 - m22, m01 + m10, m02 + m20, m21 - m12], axis=-1),
+            jnp.stack([m01 + m10, m11 - m00 - m22, m12 + m21, m02 - m20], axis=-1),
+            jnp.stack([m02 + m20, m12 + m21, m22 - m00 - m11, m10 - m01], axis=-1),
+            jnp.stack([m21 - m12, m02 - m20, m10 - m01, m00 + m11 + m22], axis=-1),
+        ],
+        axis=-2,
+    ) / 3.0
+    _, V = jnp.linalg.eigh(K)
+    v = V[..., :, -1]                         # eigenvector of largest eigenvalue
+    q = jnp.stack([v[..., 3], v[..., 0], v[..., 1], v[..., 2]], axis=-1)
+    return jnp.where(q[..., :1] < 0.0, -q, q)
+
+
+def quat_mult(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of (..., 4) (w, x, y, z) quaternions.
+
+    Parity: evaluation_tools/metrics.py:18-40.
+    """
+    w1, x1, y1, z1 = jnp.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = jnp.moveaxis(q2, -1, 0)
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_inverse(q: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of (..., 4) quaternions. Parity: evaluation_tools/metrics.py:43-55."""
+    conj = q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    return conj / jnp.sum(q * q, axis=-1, keepdims=True)

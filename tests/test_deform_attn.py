@@ -1,0 +1,93 @@
+"""Deformable-attention core vs torch.grid_sample ground truth.
+
+This mirrors how Deformable-DETR validates its CUDA op: compare against the
+pure-PyTorch grid_sample formulation (bilinear, zero padding,
+align_corners=False). torch here is an independent oracle, CPU-only.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.ops.deform_attn import ms_deform_attn_xla
+
+
+def torch_ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights):
+    """Ground-truth via torch grid_sample (independent oracle)."""
+    N, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    value_list = value.split([h * w for h, w in spatial_shapes], dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    out = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(N * H, D, h, w)
+        grid = sampling_grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)  # (N*H, Q, P, 2)
+        sampled = F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros", align_corners=False)
+        out.append(sampled)  # (N*H, D, Q, P)
+    attn = attention_weights.transpose(1, 2).reshape(N * H, 1, Q, L * P)
+    output = (torch.stack(out, dim=-2).flatten(-2) * attn).sum(-1)
+    return output.view(N, H * D, Q).transpose(1, 2).contiguous()
+
+
+def _make_inputs(rng, B=2, Q=6, H=4, D=8, shapes=((6, 9), (4, 5), (2, 3))):
+    L = len(shapes)
+    P = 4
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    # locations spread inside [0,1] with some outside to exercise zero-padding
+    locs = rng.uniform(-0.2, 1.2, size=(B, Q, H, L, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Q, H, L * P)).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    w = w.reshape(B, Q, H, L, P)
+    return value, shapes, locs, w
+
+
+def test_matches_grid_sample(rng):
+    value, shapes, locs, w = _make_inputs(rng)
+    ours = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    ref = torch_ms_deform_attn(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs), torch.from_numpy(w)
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_matches_grid_sample_single_level(rng):
+    value, shapes, locs, w = _make_inputs(rng, shapes=((8, 8),))
+    ours = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    ref = torch_ms_deform_attn(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs), torch.from_numpy(w)
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_gradients_match_torch(rng):
+    value, shapes, locs, w = _make_inputs(rng, B=1, Q=3, H=2, D=4, shapes=((5, 7), (3, 4)))
+
+    def loss_jax(v, l, aw):
+        return jnp.sum(ms_deform_attn_xla(v, shapes, l, aw) ** 2)
+
+    gv, gl, gw = jax.grad(loss_jax, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w)
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(locs).requires_grad_(True)
+    tw = torch.from_numpy(w).requires_grad_(True)
+    loss = (torch_ms_deform_attn(tv, shapes, tl, tw) ** 2).sum()
+    loss.backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
+    # location grads can disagree exactly at bilinear cell borders; tolerance
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-3)
+
+
+def test_jit_compiles(rng):
+    value, shapes, locs, w = _make_inputs(rng)
+    fn = jax.jit(lambda v, l, aw: ms_deform_attn_xla(v, shapes, l, aw))
+    out = fn(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    assert out.shape == (2, 6, 4 * 8)
