@@ -45,7 +45,6 @@ class BackboneConfig:
     dilation: bool = False
     position_embedding: str = "sine"     # {sine, learned}
     position_embedding_scale: float = 2 * math.pi
-    num_feature_levels: int = 4
     # static-shape detector caps (TPU: NMS/top-k must have fixed sizes)
     max_detections: int = 100
     input_size: Tuple[int, int] = (480, 640)   # (H, W), constant per config
@@ -59,6 +58,7 @@ class ModelConfig:
     query_embedding: str = "bbox"         # {bbox, learned}
     rotation_representation: str = "6d"   # {6d, quat, silho_quat}
     class_mode: str = "specific"          # {agnostic, specific}
+    num_feature_levels: int = 4
     enc_layers: int = 5
     dec_layers: int = 5
     dim_feedforward: int = 1024

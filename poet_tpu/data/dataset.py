@@ -1,0 +1,245 @@
+"""Pose-estimation dataset: COCO-style JSON + images -> padded numpy targets.
+
+Parity targets:
+  * data_utils/torchvision_datasets/coco.py (plain-JSON instead of
+    pycocotools — same annotation schema; in-RAM byte cache sharded by
+    local rank; RGBA 'synt' images composited onto random backgrounds),
+  * data_utils/pose_dataset.py (ProcessPoseData: box xywh->xyxy clamp,
+    degenerate-box filter, relative pose + auto-derived quaternions,
+    per-object intrinsics; split->path map; bbox jitter).
+
+TPU-native difference: __getitem__ returns numpy + a per-image target dict;
+batch assembly (pad to num_queries) happens in poet_tpu.data.loader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from io import BytesIO
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from poet_tpu.data.transforms import (
+    Compose,
+    jitter_boxes,
+    make_pose_estimation_transform,
+)
+from poet_tpu.utils import quaternions as Q
+
+# host-side conversions reuse the jnp functions through numpy inputs
+import jax.numpy as jnp
+
+
+def _rot2quat_np(rots: np.ndarray) -> np.ndarray:
+    return np.asarray(Q.rot2quat(jnp.asarray(rots)))
+
+
+def _quat2rot_np(quats: np.ndarray) -> np.ndarray:
+    return np.asarray(Q.quat2rot(jnp.asarray(quats)))
+
+
+class PoseDataset:
+    """COCO-style 6D pose dataset.
+
+    Args mirror data_utils/pose_dataset.py:39-59.
+    """
+
+    def __init__(
+        self,
+        img_folder: str,
+        ann_file: str,
+        synthetic_background: Optional[str] = None,
+        transforms: Optional[Compose] = None,
+        jitter: bool = False,
+        jitter_probability: float = 0.5,
+        jitter_std: float = 0.02,
+        cache_mode: bool = False,
+        local_rank: int = 0,
+        local_size: int = 1,
+    ):
+        self.root = str(img_folder)
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.images: Dict[int, dict] = {img["id"]: img for img in coco["images"]}
+        self.anns_by_image: Dict[int, List[dict]] = {i: [] for i in self.images}
+        for ann in coco["annotations"]:
+            if ann["image_id"] in self.anns_by_image:
+                self.anns_by_image[ann["image_id"]].append(ann)
+        self.categories = coco.get("categories", [])
+        self.ids = sorted(self.images.keys())
+        self._transforms = transforms
+        self.jitter = jitter
+        self.jitter_probability = jitter_probability
+        self.jitter_std = jitter_std
+        self.has_intrinsics = bool(self.images) and "intrinsics" in next(iter(self.images.values()))
+
+        self.cache_mode = cache_mode
+        self.local_rank = local_rank
+        self.local_size = local_size
+        self.cache: Dict[str, bytes] = {}
+        if cache_mode:
+            self._cache_images()
+
+        if synthetic_background is not None:
+            self.synthetic_background = [
+                os.path.join(synthetic_background, f)
+                for f in os.listdir(synthetic_background)
+                if os.path.isfile(os.path.join(synthetic_background, f))
+            ]
+        else:
+            self.synthetic_background = None
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        return len(self.ids)
+
+    def file_name(self, image_id: int) -> str:
+        return self.images[image_id]["file_name"]
+
+    def _cache_images(self):
+        """In-RAM byte cache sharded by local rank (coco.py:66-73)."""
+        for index, img_id in enumerate(self.ids):
+            if index % self.local_size != self.local_rank:
+                continue
+            path = self.images[img_id]["file_name"]
+            with open(os.path.join(self.root, path), "rb") as f:
+                self.cache[path] = f.read()
+
+    def _get_image(self, path: str, mode: str = "RGB") -> Image.Image:
+        if self.cache_mode:
+            if path not in self.cache:
+                with open(os.path.join(self.root, path), "rb") as f:
+                    self.cache[path] = f.read()
+            return Image.open(BytesIO(self.cache[path])).convert(mode)
+        return Image.open(os.path.join(self.root, path)).convert(mode)
+
+    def _get_background(self, target_size, rng) -> Image.Image:
+        """Random flip/crop/resize background (coco.py:83-104)."""
+        path = self.synthetic_background[int(rng.integers(0, len(self.synthetic_background)))]
+        bg = Image.open(path).convert("RGB")
+        w, h = bg.size
+        if rng.random() < 0.5:
+            bg = bg.transpose(Image.FLIP_TOP_BOTTOM)
+        elif rng.random() < 0.5:
+            bg = bg.transpose(Image.FLIP_LEFT_RIGHT)
+        if rng.random() < 0.5:
+            left = int(rng.integers(0, w + 1))
+            top = int(rng.integers(0, h + 1))
+            right = int(rng.integers(left, w + 1))
+            bottom = int(rng.integers(top, h + 1))
+            bg = bg.crop((left, top, right, bottom))
+        return bg.resize(target_size)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        img_id = self.ids[idx]
+        info = self.images[img_id]
+        anno = [a for a in self.anns_by_image[img_id] if a.get("iscrowd", 0) == 0]
+
+        synthetic = info.get("type") == "synt"
+        img = self._get_image(info["file_name"], "RGBA" if synthetic else "RGB")
+        if synthetic:
+            if self.synthetic_background is None:
+                img = img.convert("RGB")
+            else:
+                bg = self._get_background(img.size, rng)
+                bg.paste(img, (0, 0), img)
+                img = bg
+
+        target = self._process(img, anno, img_id, info)
+        if self._transforms is not None:
+            img, target = self._transforms(img, target, rng)
+
+        if self.jitter:
+            target["jitter_boxes"] = jitter_boxes(
+                np.asarray(target["boxes"], np.float32),
+                rng, self.jitter_probability, self.jitter_std,
+            )
+        return img, target
+
+    def _process(self, image, anno, image_id, info):
+        """ProcessPoseData parity (pose_dataset.py:109-256)."""
+        w, h = image.size
+        boxes = np.asarray([a["bbox"] for a in anno], np.float32).reshape(-1, 4)
+        boxes[:, 2:] += boxes[:, :2]                       # xywh -> xyxy
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+        classes = np.asarray([a["category_id"] for a in anno], np.int64)
+
+        rel_position = rel_rotation = rel_quaternion = None
+        if anno and "relative_pose" in anno[0]:
+            rp = anno[0]["relative_pose"]
+            if "position" in rp:
+                rel_position = np.asarray(
+                    [a["relative_pose"]["position"] for a in anno], np.float32
+                )
+            if "rotation" in rp:
+                rel_rotation = np.asarray(
+                    [a["relative_pose"]["rotation"] for a in anno], np.float32
+                ).reshape(-1, 3, 3)
+                rel_quaternion = _rot2quat_np(rel_rotation).astype(np.float32)
+            elif "quaternions" in rp:
+                rel_quaternion = np.asarray(
+                    [a["relative_pose"]["quaternions"] for a in anno], np.float32
+                )
+                rel_rotation = _quat2rot_np(rel_quaternion).astype(np.float32)
+
+        intrinsics = None
+        if anno and "intrinsics" in anno[0]:
+            intrinsics = np.asarray([a["intrinsics"] for a in anno], np.float32)
+        elif "intrinsics" in info and anno:
+            intrinsics = np.tile(
+                np.asarray(info["intrinsics"], np.float32)[None], (len(anno), 1)
+            )
+
+        # degenerate-box filter (pose_dataset.py:202-220)
+        keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
+        target = {
+            "boxes": boxes[keep],
+            "labels": classes[keep],
+            "image_id": image_id,
+            "orig_size": np.asarray([int(h), int(w)]),
+        }
+        if rel_position is not None:
+            target["relative_position"] = rel_position[keep]
+        if rel_rotation is not None:
+            target["relative_rotation"] = rel_rotation[keep]
+        if rel_quaternion is not None:
+            target["relative_quaternions"] = rel_quaternion[keep]
+        if intrinsics is not None:
+            target["intrinsics"] = intrinsics[keep]
+        return target
+
+
+def build_dataset(image_set: str, cfg, local_rank: int = 0, local_size: int = 1) -> PoseDataset:
+    """Split -> (image dir, annotation file) map. Parity: pose_dataset.py:320-345."""
+    root = Path(cfg.data.dataset_path)
+    assert root.exists(), f"dataset path {root} does not exist"
+    paths = {
+        "train": (root / "train", root / "annotations" / "train.json"),
+        "train_synt": (root / "train", root / "annotations" / "train_synt.json"),
+        "train_pbr": (root / "train", root / "annotations" / "train_pbr.json"),
+        "test": (root / "test_all", root / "annotations" / "test.json"),
+        "keyframes": (root / "test_all", root / "annotations" / "keyframes.json"),
+        "keyframes_bop": (root / "test_all", root / "annotations" / "keyframes_bop.json"),
+        "val": (root / "val", root / "annotations" / "val.json"),
+    }
+    img_folder, ann_file = paths[image_set]
+    return PoseDataset(
+        str(img_folder),
+        str(ann_file),
+        synthetic_background=cfg.data.synt_background,
+        transforms=make_pose_estimation_transform(
+            image_set, cfg.data.rgb_augmentation, cfg.data.grayscale
+        ),
+        jitter=(cfg.model.bbox_mode == "jitter"),
+        jitter_probability=cfg.data.jitter_probability,
+        cache_mode=cfg.data.cache_mode,
+        local_rank=local_rank,
+        local_size=local_size,
+    )

@@ -1,0 +1,367 @@
+"""Pose evaluator: ADD / ADD-S / ADD(-S), avg translation & rotation errors.
+
+Parity targets:
+  * evaluation_tools/pose_evaluator.py (YCB-V: absolute 2/5/10 cm thresholds
+    + AUC over 0–10 cm via Simpson at 0.1 mm steps, :92-101,153-154),
+  * evaluation_tools/pose_evaluator_lmo.py (LM-O: diameter-relative 0.02d /
+    0.05d / 0.10d thresholds, :108-112),
+  * the .log / .json output layout per metric directory.
+
+TPU-native re-design of the metric math (N6/N7 in SURVEY §2.2):
+  * ADD-S nearest-neighbor uses a batched brute-force pairwise min on device
+    (jit + vmap over pose chunks) instead of scipy cKDTree — on TPU the
+    (N_pts x N_pts) distance matrix is an MXU-shaped reduction and beats
+    host KD-trees by orders of magnitude for BOP-sized clouds,
+  * per-class threshold sweeps vectorize to a histogram instead of the
+    reference's 1000-iteration Python loop per pose,
+  * the geodesic rotation error drops LAPACK `logm` for the closed-form
+    trace formula — identical values on SO(3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:  # scipy >= 1.12 renamed simps -> simpson
+    from scipy.integrate import simpson as _simpson
+except ImportError:  # pragma: no cover
+    from scipy.integrate import simps as _simpson
+
+from poet_tpu.evaluation.ply import load_ply
+
+_DX = 0.0001          # AUC threshold step (pose_evaluator.py:98)
+_AUC_MAX = 0.1        # AUC range [0, 0.1) m
+_POSE_CHUNK = 8       # poses per device batch for the ADI NN
+
+
+# ---------------------------------------------------------------------------
+# Vectorized error kernels (jax on whatever backend is active, numpy fallback)
+# ---------------------------------------------------------------------------
+
+def _get_jax():
+    try:
+        import jax
+        import jax.numpy as jnp
+        return jax, jnp
+    except Exception:  # pragma: no cover
+        return None, None
+
+
+def add_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) -> np.ndarray:
+    """ADD for a stack of poses. pts (N, 3); poses (P, 3, 4). Returns (P,).
+
+    Parity: calc_add (pose_evaluator.py:692-712) — mean point distance.
+    """
+    R_p, t_p = poses_pred[:, :, :3], poses_pred[:, :, 3]
+    R_g, t_g = poses_gt[:, :, :3], poses_gt[:, :, 3]
+    # (P, N, 3)
+    est = np.einsum("pij,nj->pni", R_p, pts) + t_p[:, None, :]
+    gt = np.einsum("pij,nj->pni", R_g, pts) + t_g[:, None, :]
+    return np.linalg.norm(est - gt, axis=-1).mean(axis=-1)
+
+
+def adi_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) -> np.ndarray:
+    """ADD-S (symmetric): mean over gt points of the NN distance into the
+    predicted cloud. Parity: calc_adi (pose_evaluator.py:714-739).
+
+    Brute-force pairwise min on device, chunked over poses.
+    """
+    jax, jnp = _get_jax()
+    P = poses_pred.shape[0]
+    if P == 0:
+        return np.zeros((0,))
+    if jax is None:  # pragma: no cover
+        return _adi_errors_numpy(pts, poses_pred, poses_gt)
+
+    pts_j = jnp.asarray(pts, jnp.float32)
+
+    @jax.jit
+    def chunk_err(pp, pg):
+        R_p, t_p = pp[:, :, :3], pp[:, :, 3]
+        R_g, t_g = pg[:, :, :3], pg[:, :, 3]
+        est = jnp.einsum("pij,nj->pni", R_p, pts_j) + t_p[:, None, :]
+        gt = jnp.einsum("pij,nj->pni", R_g, pts_j) + t_g[:, None, :]
+        # ||gt_m - est_n||² = |gt|² + |est|² - 2 gt·est  (MXU-friendly form)
+        g2 = jnp.sum(gt * gt, axis=-1)                     # (P, N)
+        e2 = jnp.sum(est * est, axis=-1)                   # (P, N)
+        cross = jnp.einsum("pmi,pni->pmn", gt, est)        # (P, N, N) on MXU
+        d2 = g2[:, :, None] + e2[:, None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        nn = jnp.sqrt(jnp.min(d2, axis=-1))                # (P, N)
+        return jnp.mean(nn, axis=-1)
+
+    out = np.zeros(P, dtype=np.float64)
+    for s in range(0, P, _POSE_CHUNK):
+        e = min(s + _POSE_CHUNK, P)
+        pad = _POSE_CHUNK - (e - s)
+        pp = np.concatenate([poses_pred[s:e]] + [poses_pred[s:s + 1]] * pad).astype(np.float32)
+        pg = np.concatenate([poses_gt[s:e]] + [poses_gt[s:s + 1]] * pad).astype(np.float32)
+        vals = np.asarray(chunk_err(pp, pg))
+        out[s:e] = vals[: e - s]
+    return out
+
+
+def _adi_errors_numpy(pts, poses_pred, poses_gt):  # pragma: no cover
+    out = []
+    for pp, pg in zip(poses_pred, poses_gt):
+        est = pts @ pp[:, :3].T + pp[:, 3]
+        gt = pts @ pg[:, :3].T + pg[:, 3]
+        d2 = ((gt[:, None, :] - est[None, :, :]) ** 2).sum(-1)
+        out.append(np.sqrt(d2.min(1)).mean())
+    return np.asarray(out)
+
+
+def rotation_errors_deg(poses_pred: np.ndarray, poses_gt: np.ndarray) -> np.ndarray:
+    """Geodesic rotation error in degrees, trace clamped to [-1, 3].
+
+    Parity: pose_evaluator.py:584-599.
+    """
+    R_p = poses_pred[:, :, :3]
+    R_g = poses_gt[:, :, :3]
+    prod = np.einsum("pij,pkj->pik", R_p, R_g)
+    trace = np.clip(np.trace(prod, axis1=1, axis2=2), -1.0, 3.0)
+    return np.degrees(np.arccos(0.5 * (trace - 1.0)))
+
+
+def translation_errors(poses_pred: np.ndarray, poses_gt: np.ndarray) -> np.ndarray:
+    """L2 translation error in meters. Parity: pose_evaluator.py:538-543."""
+    return np.linalg.norm(poses_pred[:, :, 3] - poses_gt[:, :, 3], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+# ---------------------------------------------------------------------------
+
+class PoseEvaluator:
+    """Accumulates per-class pose pairs, computes BOP-style metrics.
+
+    diameter_relative=False -> YCB-V evaluator (absolute thresholds);
+    diameter_relative=True  -> LM-O evaluator (0.02/0.05/0.10 x diameter).
+    """
+
+    def __init__(self, models, classes, models_info, model_symmetry,
+                 depth_scale: float = 0.1, diameter_relative: bool = False):
+        self.models = models
+        self.classes = list(classes)
+        self.models_info = models_info
+        self.model_symmetry = model_symmetry
+        self.depth_scale = depth_scale
+        self.diameter_relative = diameter_relative
+        self.reset()
+
+    def reset(self):
+        """Parity: pose_evaluator.py:50-65."""
+        self.poses_pred: Dict[str, list] = {c: [] for c in self.classes}
+        self.poses_gt: Dict[str, list] = {c: [] for c in self.classes}
+        self.poses_img: Dict[str, list] = {c: [] for c in self.classes}
+        self.camera_intrinsics: Dict[str, list] = {c: [] for c in self.classes}
+        self.num: Dict[str, float] = {c: 0.0 for c in self.classes}
+
+    # -- accumulation ------------------------------------------------------
+    def record(self, cls_idx: int, pred_rotation, pred_translation,
+               tgt_rotation, tgt_translation, img_file: str = "", intrinsics=None):
+        """Store one matched pair. cls_idx is the 1-based label (engine.py:146)."""
+        cls = self.classes[int(cls_idx) - 1]
+        self.poses_pred[cls].append(
+            np.concatenate([pred_rotation, np.reshape(pred_translation, (3, 1))], axis=1)
+        )
+        self.poses_gt[cls].append(
+            np.concatenate([tgt_rotation, np.reshape(tgt_translation, (3, 1))], axis=1)
+        )
+        self.poses_img[cls].append(img_file)
+        self.num[cls] += 1
+        self.camera_intrinsics[cls].append(intrinsics)
+
+    # -- per-class thresholds ----------------------------------------------
+    def _thresholds(self, cls_name: str) -> np.ndarray:
+        if self.diameter_relative:
+            d = self.models_info[cls_name]["diameter"] / 1000.0  # mm -> m
+            return np.array([0.02, 0.05, 0.10]) * d
+        return np.array([0.02, 0.05, 0.10])
+
+    def _class_errors(self, cls_name: str, method: str) -> np.ndarray:
+        pred = np.asarray(self.poses_pred[cls_name], dtype=np.float64)
+        gt = np.asarray(self.poses_gt[cls_name], dtype=np.float64)
+        if len(pred) == 0:
+            return np.zeros((0,))
+        pts = np.asarray(self.models[cls_name]["pts"], dtype=np.float64)
+        if method == "add":
+            return add_errors(pts, pred, gt)
+        return adi_errors(pts, pred, gt)
+
+    # -- metric passes -------------------------------------------------------
+    def evaluate_pose_add(self, output_path: str):
+        return self._evaluate(output_path, "add", "add", "Metric ADD",
+                              lambda cls: "add")
+
+    def evaluate_pose_adi(self, output_path: str):
+        return self._evaluate(output_path, "adi", "adds", "Metric ADD-S",
+                              lambda cls: "adi")
+
+    def evaluate_pose_adds(self, output_path: str):
+        return self._evaluate(
+            output_path, "adds", "adds", "Metric ADD(-S)",
+            lambda cls: "adi" if self.model_symmetry[cls] else "add",
+        )
+
+    def _evaluate(self, output_path, dir_name, file_stem, title, method_for):
+        """Shared threshold/AUC/report pass (pose_evaluator.py:67-218)."""
+        output_dir = os.path.join(output_path, dir_name) + "/"
+        if os.path.exists(output_dir):
+            shutil.rmtree(output_dir)
+        os.makedirs(output_dir)
+        log_file = open(output_dir + f"{file_stem}.log", "w")
+        json_file = open(output_dir + f"{file_stem}.json", "w")
+        log_file.write("\n* {} *\n {:^}\n* {} *\n".format("-" * 100, title, "-" * 100))
+
+        self.classes = sorted(self.classes)
+        n_classes = len(self.classes)
+        auc_grid = np.arange(0, _AUC_MAX, _DX)
+        results = {"thresholds": [0.02, 0.05, 0.10]}
+
+        count_all = np.zeros(n_classes)
+        acc = {k: np.zeros(n_classes) for k in ("0.02", "0.05", "0.10", "auc")}
+
+        for i, cls in enumerate(self.classes):
+            errors = self._class_errors(cls, method_for(cls))
+            n_poses = len(errors)
+            count_all[i] = n_poses
+            th = self._thresholds(cls)
+            correct = [(errors < t).sum() for t in th]
+            # vectorized sweep: (n_poses, n_thresh) comparisons -> counts
+            correct_curve = (errors[:, None] < auc_grid[None, :]).sum(0).astype(np.float64)
+            results[cls] = {
+                "threshold": {
+                    "0.02": float(correct[0]),
+                    "0.05": float(correct[1]),
+                    "0.10": float(correct[2]),
+                    "mean": correct_curve.tolist(),
+                }
+            }
+            if n_poses == 0:
+                continue
+            area = _simpson(correct_curve / n_poses, dx=_DX) / _AUC_MAX
+            acc["auc"][i] = area * 100
+            for key, c in zip(("0.02", "0.05", "0.10"), correct):
+                acc[key][i] = 100.0 * c / n_poses
+            log_file.write(f"** {cls} **")
+            log_file.write(
+                "threshold=[0.0, 0.10], area: {:.2f}\n".format(acc["auc"][i])
+            )
+            for key, c in zip(("0.02", "0.05", "0.10"), correct):
+                log_file.write(
+                    "threshold={}, correct poses: {}, all poses: {}, accuracy: {:.2f}\n".format(
+                        key, float(c), count_all[i], acc[key][i]
+                    )
+                )
+            log_file.write("\n")
+            results[cls]["accuracy"] = {
+                "n_poses": float(count_all[i]),
+                "0.02": acc["0.02"][i],
+                "0.05": acc["0.05"][i],
+                "0.10": acc["0.10"][i],
+                "auc": acc["auc"][i],
+            }
+
+        num_valid = n_classes
+        log_file.write("=" * 30 + "\n")
+        log_file.write(
+            f"---------- {title} performance over {num_valid} classes -----------\n"
+        )
+        summary = {}
+        for key in ("0.02", "0.05", "0.10", "auc"):
+            summary[key] = float(acc[key].sum() / num_valid) if num_valid else float("nan")
+            log_file.write("threshold={}, mean accuracy: {:.2f}\n".format(key, summary[key]))
+        results["accuracy"] = summary
+        log_file.write("=" * 30 + "\n")
+        log_file.close()
+        json.dump(results, json_file)
+        json_file.close()
+        return results
+
+    def calculate_class_avg_translation_error(self, output_path: str):
+        """Parity: pose_evaluator.py:514-559."""
+        return self._avg_error(output_path, "avg_t_error", translation_errors,
+                               "Metric Average Translation Error in Meters")
+
+    def calculate_class_avg_rotation_error(self, output_path: str):
+        """Parity: pose_evaluator.py:561-615."""
+        return self._avg_error(output_path, "avg_rot_error", rotation_errors_deg,
+                               "Metric Average Rotation Error in Degrees")
+
+    def _avg_error(self, output_path, dir_name, err_fn, title):
+        output_dir = os.path.join(output_path, dir_name) + "/"
+        if os.path.exists(output_dir):
+            shutil.rmtree(output_dir)
+        os.makedirs(output_dir)
+        log_file = open(output_dir + f"{dir_name}.log", "w")
+        json_file = open(output_dir + f"{dir_name}.json", "w")
+        log_file.write("\n* {} *\n {:^}\n* {} *\n".format("-" * 100, title, "-" * 100))
+
+        all_errors = []
+        avg: Dict[str, float] = {}
+        for cls in self.classes:
+            pred = np.asarray(self.poses_pred[cls], dtype=np.float64)
+            gt = np.asarray(self.poses_gt[cls], dtype=np.float64)
+            if len(pred):
+                errs = err_fn(pred, gt)
+                avg[cls] = float(np.sum(errs) / len(errs))
+                all_errors.extend(errs.tolist())
+            else:
+                avg[cls] = float("nan")
+            log_file.write("Class: {} \t\t {}\n".format(cls, avg[cls]))
+        total = float(np.sum(all_errors) / len(all_errors)) if all_errors else float("nan")
+        log_file.write("All:\t\t\t\t\t {}\n".format(total))
+        avg["mean"] = [total]
+        log_file.close()
+        json.dump(avg, json_file)
+        json_file.close()
+        return avg
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap (parity: evaluation_tools/pose_evaluator_init.py)
+# ---------------------------------------------------------------------------
+
+def load_classes(path: str) -> Dict[str, str]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_models(models_path: str, classes: Dict[str, str]):
+    """Load PLY clouds (scaled mm -> m) + models_info.json diameters.
+
+    Parity: pose_evaluator_init.py:36-54.
+    """
+    with open(os.path.join(models_path, "models_info.json")) as f:
+        info_data = json.load(f)
+    models, models_info = {}, {}
+    for cls_id, name in classes.items():
+        model = load_ply(os.path.join(models_path, f"obj_{int(cls_id):06d}.ply"))
+        model["pts"] = model["pts"] / 1000.0
+        models[name] = model
+        models_info[name] = info_data[cls_id]
+    return models, models_info
+
+
+def load_model_symmetry(path: str, classes: Dict[str, str]) -> Dict[str, bool]:
+    with open(path) as f:
+        sym = json.load(f)
+    return {name: sym[name] for name in classes.values()}
+
+
+def build_pose_evaluator(cfg) -> PoseEvaluator:
+    """Parity: pose_evaluator_init.py:73-92 (driven by our config tree)."""
+    classes = load_classes(cfg.data.dataset_path + cfg.eval.class_info)
+    models, models_info = load_models(cfg.data.dataset_path + cfg.eval.models_path, classes)
+    symmetry = load_model_symmetry(cfg.data.dataset_path + cfg.eval.model_symmetry, classes)
+    class_names = [classes[k] for k in classes]
+    return PoseEvaluator(
+        models, class_names, models_info, symmetry,
+        diameter_relative=(cfg.data.dataset == "lmo"),
+    )

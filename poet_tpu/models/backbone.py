@@ -1,0 +1,55 @@
+"""Backbone wrappers: frozen feature extractors + positional encodings.
+
+Parity target: models/backbone.py (Joiner) + backbone_maskrcnn.py. The
+reference forces the detector into eval mode and freezes every parameter
+(backbone.py:36-40); here the freeze is a stop_gradient at the feature
+boundary plus an optimizer mask over the 'backbone' param subtree — the JAX
+equivalent of requires_grad_(False).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from poet_tpu.models.resnet_fpn import ResNetFPN, downsample_mask
+from poet_tpu.ops.embeddings import position_embedding_sine
+
+
+class MaskRCNNFeatureBackbone(nn.Module):
+    """ResNet-50-FPN feature levels ['2', '3', 'pool'] (strides 16/32/64).
+
+    Parity: MaskRCNNBackbone with return_interm_layers=True
+    (backbone_maskrcnn.py:37-42,118-125). Detection heads (RPN + RoI) are a
+    separate module (poet_tpu.models.maskrcnn) — in gt/jitter bbox modes the
+    reference never consumes detections, only these feature maps.
+    """
+
+    return_layers: Tuple[str, ...] = ("2", "3", "pool")
+    num_channels: Tuple[int, ...] = (256, 256, 256)
+    train_backbone: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
+        feats = ResNetFPN(name="fpn_body")(images)
+        if not self.train_backbone:
+            feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
+        features, masks = [], []
+        for name in sorted(self.return_layers):
+            x = feats[name]
+            features.append(x)
+            masks.append(downsample_mask(pad_mask, x.shape[1:3]))
+        return features, masks, None  # no detections
+
+
+def add_position_embeddings(
+    masks: List[jnp.ndarray], hidden_dim: int, dtype=jnp.float32
+) -> List[jnp.ndarray]:
+    """Sine embedding per level. Parity: Joiner pos loop (backbone.py:46-48)."""
+    return [
+        position_embedding_sine(m, num_pos_feats=hidden_dim // 2, dtype=jnp.float32).astype(dtype)
+        for m in masks
+    ]

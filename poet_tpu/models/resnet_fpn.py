@@ -1,0 +1,158 @@
+"""ResNet-50 + FPN feature extractor (flax.linen, channels-last, frozen-BN).
+
+TPU-native equivalent of torchvision's `resnet_fpn_backbone('resnet50')` used
+by the reference detector (models/backbone_maskrcnn.py:30). Structure mirrors
+torchvision exactly (bottleneck counts [3,4,6,3], FPN inner/layer 1x1+3x3
+convs, LastLevelMaxPool) so torchvision checkpoints can be ported weight-for-
+weight; layout is NHWC and BatchNorm is frozen (inference-mode affine) because
+the reference always runs the detector frozen in eval mode
+(models/backbone.py:36-40, backbone_maskrcnn.py:49-52).
+
+Note: the reference's `MaskRCNNBackbone.forward` feeds raw [0, 1] images
+straight into the FPN body, BYPASSING torchvision's GeneralizedRCNNTransform
+(no ImageNet normalization, no resize) — we preserve that exactly.
+
+Returned levels: {'0': stride 4, '1': 8, '2': 16, '3': 32, 'pool': 64}; PoET
+consumes ['2', '3', 'pool'] (backbone_maskrcnn.py:37-42).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics (torchvision FrozenBatchNorm2d / eval BN).
+
+    weight/bias/running_mean/running_var are parameters (so torch checkpoints
+    map 1:1) but receive no gradient — the optimizer masks the backbone
+    subtree, matching requires_grad_(False) in backbone_maskrcnn.py:49-52.
+    """
+
+    features: int
+    eps: float = 0.0  # torchvision BatchNorm2d uses eps=1e-5; set at call site
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        inv = scale * jax.lax.rsqrt(var + 1e-5)
+        return x * inv + (bias - mean * inv)
+
+
+def _conv(features, kernel, strides=1, name=None):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(strides, strides),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=False,
+        name=name,
+        kernel_init=nn.initializers.he_normal(),
+    )
+
+
+class Bottleneck(nn.Module):
+    width: int
+    strides: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _conv(self.width, 1, name="conv1")(x)
+        out = FrozenBatchNorm(self.width, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.width, 3, strides=self.strides, name="conv2")(out)
+        out = FrozenBatchNorm(self.width, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.width * 4, 1, name="conv3")(out)
+        out = FrozenBatchNorm(self.width * 4, name="bn3")(out)
+        if self.downsample:
+            identity = _conv(self.width * 4, 1, strides=self.strides, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.width * 4, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    """Returns C2..C5 feature maps (strides 4, 8, 16, 32)."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        # torch maxpool(3, stride 2, padding 1)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outs = []
+        widths = [64, 128, 256, 512]
+        blocks = [3, 4, 6, 3]
+        for stage, (w, n) in enumerate(zip(widths, blocks)):
+            stride = 1 if stage == 0 else 2
+            for b in range(n):
+                x = Bottleneck(
+                    w,
+                    strides=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+            outs.append(x)
+        return outs  # C2 (256ch), C3 (512), C4 (1024), C5 (2048)
+
+
+class FPN(nn.Module):
+    """torchvision FeaturePyramidNetwork + LastLevelMaxPool (out_channels 256)."""
+
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        inners = [
+            nn.Conv(self.out_channels, (1, 1), name=f"inner_{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        # top-down pathway with nearest-neighbor upsampling
+        laterals = [inners[-1]]
+        for i in range(len(inners) - 2, -1, -1):
+            up = jax.image.resize(
+                laterals[0], inners[i].shape[:1] + inners[i].shape[1:3] + laterals[0].shape[3:],
+                method="nearest",
+            )
+            laterals.insert(0, inners[i] + up)
+        outs = {
+            str(i): nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                            name=f"layer_{i}")(l)
+            for i, l in enumerate(laterals)
+        }
+        # LastLevelMaxPool: 1x1 window, stride 2 — i.e. plain subsampling
+        outs["pool"] = outs[str(len(feats) - 1)][:, ::2, ::2, :]
+        return outs
+
+
+class ResNetFPN(nn.Module):
+    """Full feature extractor: images (B, H, W, 3) in [0, 1] -> level dict."""
+
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        feats = ResNet50(name="body")(images)
+        return FPN(self.out_channels, name="fpn")(feats)
+
+
+def downsample_mask(pad_mask: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resize a (B, H, W) bool pad mask to a feature resolution.
+
+    Parity: F.interpolate(mask.float(), size).to(bool) at
+    backbone_maskrcnn.py:118-125 (nearest-neighbor on the float mask).
+    """
+    m = jax.image.resize(pad_mask.astype(jnp.float32), (pad_mask.shape[0],) + tuple(hw), "nearest")
+    return m.astype(bool)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from poet_tpu.ops.deform_attn import ms_deform_attn_xla
+from poet_tpu.ops.deform_attn import ms_deform_attn_mxu, ms_deform_attn_xla
 
 
 def _grid_init_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
@@ -55,6 +55,9 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    # 'mxu': one-hot-matmul sampling (TPU-fast); 'gather': take_along_axis
+    # reference path (used for cross-checking; slow on TPU).
+    impl: str = "mxu"
 
     @nn.compact
     def __call__(
@@ -100,7 +103,8 @@ class MSDeformAttn(nn.Module):
             + offsets / wh[None, None, None, :, None, :]
         )  # (B, Q, H, L, P, 2)
 
-        out = ms_deform_attn_xla(value, tuple(spatial_shapes), locations, attn)
+        core = ms_deform_attn_mxu if self.impl == "mxu" else ms_deform_attn_xla
+        out = core(value, tuple(spatial_shapes), locations, attn)
         return nn.Dense(self.d_model, name="output_proj")(out)
 
 

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def ms_deform_attn_xla(
@@ -102,3 +104,115 @@ def ms_deform_attn_xla(
         )
 
     return out.reshape(B, Q, H * D).astype(dtype)
+
+
+def ms_deform_attn_mxu(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    q_chunk: int = 256,
+) -> jnp.ndarray:
+    """Multi-scale deformable attention via one-hot matmuls (MXU gather).
+
+    TPU has no fast random-gather: `jnp.take_along_axis` lowers to a scalar
+    gather loop and measured ~450 ms/batch on the PoET encoder. This
+    formulation replaces the gather with dense matrix products that ride the
+    MXU systolic array:
+
+      For each level, fold the (point, corner) bilinear weights, zero-padding
+      mask, and attention weights into ONE dense sampling matrix
+          Wmat[b, q, h, s] = Σ_{p,c} w[b,q,h,p,c] · 1[idx[b,q,h,p,c] == s]
+      and compute  out = Wmat @ value_l  — a batched (Q × S_l) x (S_l × D)
+      matmul. The one-hot comparison + slot-sum fuses into a single VPU pass;
+      the matmul runs at MXU speed. Extra FLOPs vs a true gather are ~Q·S_l·D
+      per level — trivially cheap on TPU, and fully differentiable by
+      autodiff (the backward is the transposed matmul: the d_value "scatter"
+      also becomes a matmul).
+
+    Numerics identical to `ms_deform_attn_xla` (same bilinear/zero-pad math;
+    verified in tests). Queries are processed in `q_chunk` slices via lax.map
+    to bound the Wmat working set (chunk × S_l floats).
+    """
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    assert len(spatial_shapes) == L
+    assert sum(h * w for h, w in spatial_shapes) == S
+
+    dtype = value.dtype
+    f32 = jnp.float32
+
+    # pad Q to a multiple of q_chunk
+    qc = min(q_chunk, Q)
+    Q_pad = ((Q + qc - 1) // qc) * qc
+    if Q_pad != Q:
+        pad = Q_pad - Q
+        sampling_locations = jnp.pad(
+            sampling_locations, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)),
+            constant_values=-10.0,  # far outside -> zero contribution
+        )
+        attention_weights = jnp.pad(
+            attention_weights, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))
+        )
+    n_chunks = Q_pad // qc
+
+    out = jnp.zeros((B, Q_pad, H, D), dtype=f32)
+    start = 0
+    corner_dx = jnp.array([0, 1, 0, 1], dtype=jnp.int32)
+    corner_dy = jnp.array([0, 0, 1, 1], dtype=jnp.int32)
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        S_l = Hl * Wl
+        value_l = value[:, start : start + S_l]              # (B, S_l, H, D)
+        start += S_l
+
+        loc = sampling_locations[:, :, :, lvl]               # (B, Qp, H, P, 2)
+        attn = attention_weights[:, :, :, lvl]               # (B, Qp, H, P)
+
+        x = loc[..., 0].astype(f32) * Wl - 0.5
+        y = loc[..., 1].astype(f32) * Hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        cx = x0i[..., None] + corner_dx                      # (B, Qp, H, P, 4)
+        cy = y0i[..., None] + corner_dy
+        in_bounds = (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl)
+        idx = jnp.clip(cy, 0, Hl - 1) * Wl + jnp.clip(cx, 0, Wl - 1)
+
+        wx = jnp.stack([1.0 - tx, tx, 1.0 - tx, tx], axis=-1)
+        wy = jnp.stack([1.0 - ty, 1.0 - ty, ty, ty], axis=-1)
+        wgt = wx * wy * in_bounds.astype(f32) * attn[..., None].astype(f32)
+
+        # fold (P, 4) into one slot axis
+        idx = idx.reshape(B, Q_pad, H, P * 4)
+        wgt = wgt.reshape(B, Q_pad, H, P * 4)
+
+        # chunked one-hot matmul
+        idx_c = idx.reshape(B, n_chunks, qc, H, P * 4).transpose(1, 0, 2, 3, 4)
+        wgt_c = wgt.reshape(B, n_chunks, qc, H, P * 4).transpose(1, 0, 2, 3, 4)
+        iota = jnp.arange(S_l, dtype=jnp.int32)
+        v32 = value_l.astype(f32)
+
+        def chunk_fn(args, _v=v32, _iota=iota):
+            i_c, w_c = args                                   # (B, qc, H, P4)
+            # (B, qc, H, P4, S_l) one-hot, weighted, summed over slots — XLA
+            # fuses the compare/select/reduce into one pass (no materialize).
+            wmat = jnp.sum(
+                jnp.where(i_c[..., None] == _iota, w_c[..., None], 0.0), axis=3
+            )                                                 # (B, qc, H, S_l)
+            return jnp.einsum(
+                "bqhs,bshd->bqhd", wmat, _v, preferred_element_type=f32
+            )
+
+        if n_chunks == 1:
+            contrib = chunk_fn((idx_c[0], wgt_c[0]))[None]
+        else:
+            contrib = lax.map(chunk_fn, (idx_c, wgt_c))      # (n_chunks, B, qc, H, D)
+        contrib = contrib.transpose(1, 0, 2, 3, 4).reshape(B, Q_pad, H, D)
+        out = out + contrib
+
+    return out[:, :Q].reshape(B, Q, H * D).astype(dtype)

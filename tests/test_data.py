@@ -1,0 +1,193 @@
+"""Data pipeline tests: dataset parsing, loader batching, converter."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from poet_tpu.data.dataset import PoseDataset
+from poet_tpu.data.loader import PoseDataLoader
+from poet_tpu.data.structures import pad_targets
+from poet_tpu.data.converters import convert_bop_to_poet, LMO_ID_MAP, LMO_CLASSES
+
+
+@pytest.fixture
+def mini_coco(tmp_path, rng):
+    """3 images, variable object counts, full pose annotations."""
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    ann_id = 0
+    counts = [2, 1, 3]
+    for i, n in enumerate(counts):
+        arr = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i}.png")
+        images.append(
+            {"id": i, "file_name": f"{i}.png", "width": 64, "height": 48,
+             "intrinsics": [100.0, 0, 32, 0, 100, 24, 0, 0, 1], "type": "real"}
+        )
+        for j in range(n):
+            R = np.eye(3)
+            annotations.append(
+                {
+                    "id": ann_id, "image_id": i,
+                    "bbox": [5.0 + 10 * j, 5.0, 12.0, 15.0],
+                    "area": 180.0, "iscrowd": 0, "category_id": j + 1,
+                    "relative_pose": {
+                        "position": [0.1 * j, 0.0, 0.5],
+                        "rotation": R.reshape(-1).tolist(),
+                    },
+                    "intrinsics": [100.0, 0, 32, 0, 100, 24, 0, 0, 1],
+                }
+            )
+            ann_id += 1
+    ann_file = tmp_path / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": annotations, "categories": []}, f)
+    return str(img_dir), str(ann_file), counts
+
+
+def test_dataset_item(mini_coco, rng):
+    img_dir, ann_file, counts = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    ds = PoseDataset(img_dir, ann_file, transforms=make_pose_estimation_transform("test"))
+    assert len(ds) == 3
+    img, tgt = ds.__getitem__(0, rng=rng)
+    assert img.shape == (48, 64, 3) and img.dtype == np.float32
+    assert img.min() >= 0 and img.max() <= 1
+    assert len(tgt["boxes"]) == counts[0]
+    # boxes are cxcywh normalized
+    b = tgt["boxes"]
+    assert np.all(b >= 0) and np.all(b <= 1)
+    np.testing.assert_allclose(b[0], [(5 + 6) / 64, (5 + 7.5) / 48, 12 / 64, 15 / 48])
+    assert tgt["relative_rotation"].shape == (counts[0], 3, 3)
+    assert tgt["relative_quaternions"].shape == (counts[0], 4)
+    assert tgt["intrinsics"].shape == (counts[0], 9)
+
+
+def test_jitter_dataset(mini_coco, rng):
+    img_dir, ann_file, counts = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    ds = PoseDataset(img_dir, ann_file, jitter=True, jitter_probability=1.0,
+                     transforms=make_pose_estimation_transform("train"))
+    _, tgt = ds.__getitem__(2, rng=rng)
+    assert "jitter_boxes" in tgt
+    assert tgt["jitter_boxes"].shape == tgt["boxes"].shape
+    assert np.abs(tgt["jitter_boxes"] - tgt["boxes"]).max() > 0
+
+
+def test_pad_targets(mini_coco, rng):
+    img_dir, ann_file, counts = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    ds = PoseDataset(img_dir, ann_file, transforms=make_pose_estimation_transform("test"))
+    items = [ds.__getitem__(i, rng=rng)[1] for i in range(3)]
+    batch = pad_targets(items, num_queries=5)
+    assert batch["boxes"].shape == (3, 5, 4)
+    assert batch["labels"].shape == (3, 5)
+    np.testing.assert_array_equal(batch["n_boxes"], counts)
+    # padding conventions
+    assert np.all(batch["boxes"][0, 2:] == -1.0)
+    assert np.all(batch["labels"][0, 2:] == -1)
+    assert batch["intrinsics"].shape == (3, 5, 9)
+
+
+def test_loader_epoch(mini_coco):
+    img_dir, ann_file, counts = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    ds = PoseDataset(img_dir, ann_file, transforms=make_pose_estimation_transform("test"))
+    loader = PoseDataLoader(ds, batch_size=2, num_queries=5, shuffle=True,
+                            drop_last=False, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    images, pad_mask, targets = batches[0]
+    assert images.shape == (2, 48, 64, 3)
+    assert pad_mask.shape == (2, 48, 64)
+    assert targets["boxes"].shape == (2, 5, 4)
+    # determinism: same epoch -> same batches
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0][0], again[0][0])
+    # different epoch -> different order (with overwhelming probability)
+    other = list(loader.epoch(1))
+    assert not all(
+        np.array_equal(batches[i][0], other[i][0]) for i in range(len(batches))
+    )
+
+
+def test_loader_process_sharding(mini_coco):
+    img_dir, ann_file, _ = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    ds = PoseDataset(img_dir, ann_file, transforms=make_pose_estimation_transform("test"))
+    idx0 = PoseDataLoader(ds, 1, 5, shuffle=False, process_index=0, process_count=2)._epoch_indices(0)
+    idx1 = PoseDataLoader(ds, 1, 5, shuffle=False, process_index=1, process_count=2)._epoch_indices(0)
+    assert len(idx0) == len(idx1) == 2  # 3 imgs padded to 4, 2 per process
+    assert set(idx0.tolist() + idx1.tolist()) == {0, 1, 2}
+
+
+def test_converter(tmp_path, rng):
+    """Fake BOP scene -> PoET JSON with clamping + visibility filter."""
+    scene = tmp_path / "test" / "000048"
+    (scene / "rgb").mkdir(parents=True)
+    for i in range(2):
+        Image.new("RGB", (640, 480)).save(scene / "rgb" / f"{i:06d}.png")
+    gt = {
+        "0": [
+            {"obj_id": 1, "cam_R_m2c": list(np.eye(3).reshape(-1)), "cam_t_m2c": [10.0, 20.0, 500.0]},
+            {"obj_id": 5, "cam_R_m2c": list(np.eye(3).reshape(-1)), "cam_t_m2c": [0.0, 0.0, 700.0]},
+        ],
+        "1": [
+            {"obj_id": 1, "cam_R_m2c": list(np.eye(3).reshape(-1)), "cam_t_m2c": [5.0, 5.0, 300.0]},
+        ],
+    }
+    gt_info = {
+        "0": [
+            {"bbox_obj": [-10, 20, 50, 60], "visib_fract": 0.9},
+            {"bbox_obj": [600, 440, 80, 80], "visib_fract": 0.02},  # filtered
+        ],
+        "1": [{"bbox_obj": [100, 100, 600, 30], "visib_fract": 1.0}],
+    }
+    cam = {k: {"cam_K": [1066.8, 0, 312.99, 0, 1067.5, 241.31, 0, 0, 1], "depth_scale": 0.1}
+           for k in ("0", "1")}
+    json.dump(gt, open(scene / "scene_gt.json", "w"))
+    json.dump(gt_info, open(scene / "scene_gt_info.json", "w"))
+    json.dump(cam, open(scene / "scene_camera.json", "w"))
+
+    out_file = tmp_path / "ann" / "test.json"
+    res = convert_bop_to_poet(str(tmp_path), ["test"], ["real"], str(out_file))
+    assert len(res["images"]) == 2
+    assert len(res["annotations"]) == 2  # low-visibility one removed
+    a0 = res["annotations"][0]
+    assert a0["bbox"][0] == 0 and a0["bbox"][2] == 40     # clamped left
+    np.testing.assert_allclose(a0["relative_pose"]["position"], [0.01, 0.02, 0.5])
+    a1 = res["annotations"][1]
+    assert a1["bbox"][2] == 640 - 100 - 1                 # clamped width
+
+
+def test_converter_lmo_id_map(tmp_path):
+    scene = tmp_path / "test" / "000002"
+    (scene / "rgb").mkdir(parents=True)
+    Image.new("RGB", (640, 480)).save(scene / "rgb" / "000000.png")
+    gt = {"0": [
+        {"obj_id": 5, "cam_R_m2c": list(np.eye(3).reshape(-1)), "cam_t_m2c": [0, 0, 400.0]},
+        {"obj_id": 3, "cam_R_m2c": list(np.eye(3).reshape(-1)), "cam_t_m2c": [0, 0, 400.0]},  # not in LM-O
+    ]}
+    gt_info = {"0": [
+        {"bbox_obj": [10, 10, 30, 30], "visib_fract": 1.0},
+        {"bbox_obj": [50, 50, 30, 30], "visib_fract": 1.0},
+    ]}
+    cam = {"0": {"cam_K": [572.4, 0, 325.26, 0, 573.57, 242.04, 0, 0, 1]}}
+    json.dump(gt, open(scene / "scene_gt.json", "w"))
+    json.dump(gt_info, open(scene / "scene_gt_info.json", "w"))
+    json.dump(cam, open(scene / "scene_camera.json", "w"))
+    res = convert_bop_to_poet(
+        str(tmp_path), ["test"], ["real"], str(tmp_path / "out.json"),
+        obj_id_map=LMO_ID_MAP, class_names=LMO_CLASSES,
+    )
+    assert len(res["annotations"]) == 1
+    assert res["annotations"][0]["category_id"] == 2      # raw 5 -> lmo 2

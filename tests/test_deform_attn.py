@@ -91,3 +91,40 @@ def test_jit_compiles(rng):
     fn = jax.jit(lambda v, l, aw: ms_deform_attn_xla(v, shapes, l, aw))
     out = fn(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
     assert out.shape == (2, 6, 4 * 8)
+
+
+class TestMXUFormulation:
+    """ms_deform_attn_mxu must match the gather/grid_sample semantics exactly."""
+
+    def test_matches_xla(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_mxu
+
+        value, shapes, locs, w = _make_inputs(rng)
+        a = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(ms_deform_attn_mxu(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_matches_xla_chunked(self, rng):
+        """Q larger than chunk size exercises the lax.map path + Q padding."""
+        from poet_tpu.ops.deform_attn import ms_deform_attn_mxu
+
+        value, shapes, locs, w = _make_inputs(rng, Q=37)
+        a = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(ms_deform_attn_mxu(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w), q_chunk=16))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_gradients_match(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_mxu
+
+        value, shapes, locs, w = _make_inputs(rng, B=1, Q=5, H=2, D=4, shapes=((5, 7), (3, 4)))
+
+        def loss_a(v, l, aw):
+            return jnp.sum(ms_deform_attn_xla(v, shapes, l, aw) ** 2)
+
+        def loss_b(v, l, aw):
+            return jnp.sum(ms_deform_attn_mxu(v, shapes, l, aw, q_chunk=4) ** 2)
+
+        ga = jax.grad(loss_a, argnums=(0, 1, 2))(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        gb = jax.grad(loss_b, argnums=(0, 1, 2))(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

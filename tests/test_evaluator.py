@@ -1,0 +1,175 @@
+"""Evaluator tests: error kernels vs scipy/cKDTree oracles + golden metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy import spatial
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from poet_tpu.evaluation.pose_evaluator import (
+    PoseEvaluator,
+    add_errors,
+    adi_errors,
+    rotation_errors_deg,
+    translation_errors,
+)
+from poet_tpu.evaluation.ply import load_ply
+
+
+def _random_poses(rng, n):
+    R = ScipyRot.random(n, random_state=np.random.RandomState(7)).as_matrix()
+    t = rng.normal(scale=0.5, size=(n, 3)) + np.array([0, 0, 1.0])
+    return np.concatenate([R, t[:, :, None]], axis=2)
+
+
+def _pts(rng, n=400):
+    return rng.normal(scale=0.05, size=(n, 3))
+
+
+def test_add_matches_definition(rng):
+    pts = _pts(rng)
+    pred = _random_poses(rng, 6)
+    gt = _random_poses(rng, 6)
+    out = add_errors(pts, pred, gt)
+    for i in range(6):
+        est = pts @ pred[i, :, :3].T + pred[i, :, 3]
+        g = pts @ gt[i, :, :3].T + gt[i, :, 3]
+        expected = np.linalg.norm(est - g, axis=1).mean()
+        np.testing.assert_allclose(out[i], expected, rtol=1e-9)
+
+
+def test_adi_matches_ckdtree(rng):
+    """Brute-force device NN must equal the reference's cKDTree NN."""
+    pts = _pts(rng, 300)
+    pred = _random_poses(rng, 5)
+    gt = pred.copy()
+    gt[:, :, 3] += rng.normal(scale=0.01, size=(5, 3))
+    out = adi_errors(pts, pred, gt)
+    for i in range(5):
+        est = pts @ pred[i, :, :3].T + pred[i, :, 3]
+        g = pts @ gt[i, :, :3].T + gt[i, :, 3]
+        tree = spatial.cKDTree(est)
+        nn, _ = tree.query(g, k=1)
+        np.testing.assert_allclose(out[i], nn.mean(), rtol=1e-3, atol=1e-5)
+
+
+def test_rotation_error_vs_logm(rng):
+    """Closed-form trace formula vs scipy logm Frobenius (reference helper)."""
+    from scipy.linalg import logm
+
+    pred = _random_poses(rng, 10)
+    gt = _random_poses(rng, 10)
+    out = rotation_errors_deg(pred, gt)
+    for i in range(10):
+        temp = logm(pred[i, :, :3].T @ gt[i, :, :3])
+        expected = np.linalg.norm(temp, "fro") / np.sqrt(2) / np.pi * 180
+        np.testing.assert_allclose(out[i], expected, atol=1e-4)
+
+
+def test_translation_error(rng):
+    pred = _random_poses(rng, 4)
+    gt = _random_poses(rng, 4)
+    out = translation_errors(pred, gt)
+    expected = np.linalg.norm(pred[:, :, 3] - gt[:, :, 3], axis=1)
+    np.testing.assert_allclose(out, expected)
+
+
+@pytest.fixture
+def evaluator(rng):
+    classes = ["obj_a", "obj_b"]
+    models = {c: {"pts": _pts(rng, 200)} for c in classes}
+    models_info = {c: {"diameter": 120.0} for c in classes}  # mm
+    symmetry = {"obj_a": False, "obj_b": True}
+    return PoseEvaluator(models, classes, models_info, symmetry)
+
+
+def test_evaluator_perfect_poses(evaluator, rng, tmp_path):
+    """Identical pred/gt poses -> 100% at every threshold, AUC ~100."""
+    poses = _random_poses(rng, 8)
+    for i in range(8):
+        evaluator.record(1 + (i % 2), poses[i, :, :3], poses[i, :, 3],
+                         poses[i, :, :3], poses[i, :, 3])
+    out = str(tmp_path) + "/"
+    res = evaluator.evaluate_pose_adds(out)
+    assert res["accuracy"]["0.02"] == 100.0
+    assert res["accuracy"]["auc"] > 99.0
+    assert os.path.exists(out + "adds/adds.log")
+    loaded = json.load(open(out + "adds/adds.json"))
+    assert loaded["accuracy"]["0.10"] == 100.0
+
+
+def test_evaluator_threshold_behavior(evaluator, rng, tmp_path):
+    """3 cm translation offset: fails 2 cm, passes 5/10 cm (asymmetric obj)."""
+    pose = _random_poses(rng, 1)[0]
+    off = pose.copy()
+    off[:, 3] += np.array([0.03, 0, 0])
+    evaluator.record(1, off[:, :3], off[:, 3], pose[:, :3], pose[:, 3])
+    res = evaluator.evaluate_pose_add(str(tmp_path) + "/")
+    assert res["obj_a"]["accuracy"]["0.02"] == 0.0
+    assert res["obj_a"]["accuracy"]["0.05"] == 100.0
+
+
+def test_evaluator_diameter_relative(rng, tmp_path):
+    """LM-O mode: thresholds scale with model diameter."""
+    classes = ["obj_a"]
+    models = {"obj_a": {"pts": _pts(rng, 100)}}
+    models_info = {"obj_a": {"diameter": 200.0}}  # mm -> 0.2 m
+    evalr = PoseEvaluator(models, classes, models_info, {"obj_a": False},
+                          diameter_relative=True)
+    pose = _random_poses(rng, 1)[0]
+    off = pose.copy()
+    off[:, 3] += np.array([0.015, 0, 0])  # 1.5 cm error
+    evalr.record(1, off[:, :3], off[:, 3], pose[:, :3], pose[:, 3])
+    res = evalr.evaluate_pose_add(str(tmp_path) + "/")
+    # thresholds: 0.004 / 0.01 / 0.02 m -> error 0.015 only passes 0.10d
+    assert res["obj_a"]["accuracy"]["0.02"] == 0.0
+    assert res["obj_a"]["accuracy"]["0.05"] == 0.0
+    assert res["obj_a"]["accuracy"]["0.10"] == 100.0
+
+
+def test_avg_errors(evaluator, rng, tmp_path):
+    pose = _random_poses(rng, 1)[0]
+    off = pose.copy()
+    off[:, 3] += np.array([0.0, 0.04, 0])
+    evaluator.record(1, off[:, :3], off[:, 3], pose[:, :3], pose[:, 3])
+    t_res = evaluator.calculate_class_avg_translation_error(str(tmp_path) + "/")
+    np.testing.assert_allclose(t_res["obj_a"], 0.04, atol=1e-9)
+    r_res = evaluator.calculate_class_avg_rotation_error(str(tmp_path) + "/")
+    np.testing.assert_allclose(r_res["obj_a"], 0.0, atol=1e-3)
+
+
+def test_ply_roundtrip_ascii(tmp_path, rng):
+    pts = rng.normal(size=(10, 3))
+    faces = [[0, 1, 2], [3, 4, 5]]
+    p = tmp_path / "test.ply"
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for q in pts:
+            f.write(f"{q[0]} {q[1]} {q[2]}\n")
+        for face in faces:
+            f.write("3 " + " ".join(map(str, face)) + "\n")
+    out = load_ply(str(p))
+    np.testing.assert_allclose(out["pts"], pts, rtol=1e-6)
+    np.testing.assert_array_equal(out["faces"], faces)
+
+
+def test_ply_binary(tmp_path, rng):
+    import struct
+
+    pts = rng.normal(size=(5, 3)).astype(np.float32)
+    p = tmp_path / "bin.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 5\n")
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"end_header\n")
+        for q in pts:
+            f.write(struct.pack("<fff", *q))
+    out = load_ply(str(p))
+    np.testing.assert_allclose(out["pts"], pts, rtol=1e-6)

@@ -1,0 +1,185 @@
+"""End-to-end PoET model tests (tiny config, CPU)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.config import PoETConfig
+from poet_tpu.models import build_model
+from poet_tpu.models.matcher import match_poses
+from poet_tpu.models import criterion as crit
+
+
+def tiny_config(**model_overrides):
+    cfg = PoETConfig()
+    cfg.backbone.name = "maskrcnn"
+    cfg.model.hidden_dim = 64
+    cfg.model.nheads = 4
+    cfg.model.enc_layers = 2
+    cfg.model.dec_layers = 2
+    cfg.model.dim_feedforward = 128
+    cfg.model.num_queries = 5
+    cfg.model.n_classes = 4
+    cfg.model.dropout = 0.0
+    for k, v in model_overrides.items():
+        setattr(cfg.model, k, v)
+    return cfg
+
+
+def make_batch(rng, B=2, Q=5, H=128, W=128):
+    images = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    pad_mask = np.zeros((B, H, W), dtype=bool)
+    if B == 2:
+        n_boxes = np.array([3, 5], dtype=np.int32)
+    else:
+        n_boxes = rng.integers(1, Q + 1, size=(B,)).astype(np.int32)
+    boxes = rng.uniform(0.2, 0.7, size=(B, Q, 4)).astype(np.float32)
+    boxes[..., 2:] = rng.uniform(0.05, 0.2, size=(B, Q, 2))
+    labels = rng.integers(1, 5, size=(B, Q)).astype(np.int32)
+    for b in range(B):
+        boxes[b, n_boxes[b]:] = -1.0
+        labels[b, n_boxes[b]:] = -1
+    rots = ScipyRot.random(B * Q, random_state=3).as_matrix().reshape(B, Q, 3, 3)
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(labels),
+        "n_boxes": jnp.asarray(n_boxes),
+        "relative_position": jnp.asarray(rng.normal(size=(B, Q, 3)).astype(np.float32)),
+        "relative_rotation": jnp.asarray(rots.astype(np.float32)),
+    }
+    return jnp.asarray(images), jnp.asarray(pad_mask), targets
+
+
+@pytest.fixture(scope="module")
+def model_and_outputs():
+    rng = np.random.default_rng(1)
+    cfg = tiny_config()
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    outputs = model.apply(params, images, pad_mask, targets)
+    return cfg, model, params, images, pad_mask, targets, outputs
+
+
+def test_output_shapes(model_and_outputs):
+    cfg, model, params, images, pad_mask, targets, out = model_and_outputs
+    L, Q = cfg.model.dec_layers, cfg.model.num_queries
+    assert out["translations"].shape == (L, 2, Q, 3)
+    assert out["rotations"].shape == (L, 2, Q, 3, 3)
+    assert out["pred_boxes"].shape == (2, Q, 4)
+    assert out["pred_classes"].shape == (2, Q)
+
+
+def test_rotations_are_valid(model_and_outputs):
+    _, _, _, _, _, _, out = model_and_outputs
+    R = np.asarray(out["rotations"]).reshape(-1, 3, 3)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(R), 1, 1)), atol=1e-4)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-4)
+
+
+def test_dummy_conventions(model_and_outputs):
+    """Dummy slots keep the reference conventions: boxes -1, class -1."""
+    _, _, _, _, _, targets, out = model_and_outputs
+    n = np.asarray(targets["n_boxes"])
+    boxes = np.asarray(out["pred_boxes"])
+    classes = np.asarray(out["pred_classes"])
+    for b in range(2):
+        np.testing.assert_allclose(boxes[b, n[b]:], -1.0)
+        np.testing.assert_array_equal(classes[b, n[b]:], -1)
+
+
+def test_loss_and_gradients(model_and_outputs):
+    cfg, model, params, images, pad_mask, targets, _ = model_and_outputs
+
+    def loss_fn(p):
+        out = model.apply(p, images, pad_mask, targets)
+        match = match_poses(
+            out["pred_boxes"], out["pred_classes"], targets["boxes"],
+            targets["labels"], out["n_boxes"], targets["n_boxes"], bbox_mode="gt",
+        )
+        losses = crit.compute_losses(out, targets, match)
+        return crit.weighted_total(losses), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert set(losses) == {"loss_trans", "loss_rot", "loss_trans_0", "loss_rot_0"}
+
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    backbone_nonzero = transformer_nonzero = 0.0
+    for path, g in flat:
+        name = jax.tree_util.keystr(path)
+        mag = float(jnp.abs(g).max())
+        assert np.isfinite(mag), name
+        if "backbone" in name:
+            backbone_nonzero = max(backbone_nonzero, mag)
+        elif "transformer" in name:
+            transformer_nonzero = max(transformer_nonzero, mag)
+    # frozen feature extractor: stop_gradient kills every backbone grad
+    assert backbone_nonzero == 0.0
+    assert transformer_nonzero > 0.0
+
+
+def test_gt_vs_jitter_mode(rng):
+    cfg = tiny_config(bbox_mode="jitter")
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    targets["jitter_boxes"] = targets["boxes"] + 0.01
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out = model.apply(params, images, pad_mask, targets)
+    # pred boxes must be the jitter boxes on valid slots
+    n = np.asarray(targets["n_boxes"])
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out["pred_boxes"])[b, : n[b]],
+            np.asarray(targets["jitter_boxes"])[b, : n[b]],
+            atol=1e-6,
+        )
+
+
+def test_class_agnostic_mode(rng):
+    cfg = tiny_config(class_mode="agnostic")
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out = model.apply(params, images, pad_mask, targets)
+    assert out["translations"].shape[-1] == 3
+
+
+def test_aleatoric_heads(rng):
+    cfg = tiny_config(aleatoric=True)
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out = model.apply(params, images, pad_mask, targets)
+    assert out["translations_aleatoric"].shape == (2, 2, 5, 3)
+    assert out["rotations_aleatoric"].shape == (2, 2, 5, 3)
+    match = match_poses(
+        out["pred_boxes"], out["pred_classes"], targets["boxes"],
+        targets["labels"], out["n_boxes"], targets["n_boxes"], bbox_mode="gt",
+    )
+    losses = crit.compute_losses(out, targets, match, aleatoric=True)
+    assert np.isfinite(float(crit.weighted_total(losses)))
+
+
+def test_quaternion_mode(rng):
+    cfg = tiny_config(rotation_representation="quat")
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    from poet_tpu.utils.quaternions import rot2quat
+
+    targets["relative_quaternions"] = rot2quat(targets["relative_rotation"])
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out = model.apply(params, images, pad_mask, targets)
+    assert out["rotations"].shape == (2, 2, 5, 4)
+    norms = np.linalg.norm(np.asarray(out["rotations"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    match = match_poses(
+        out["pred_boxes"], out["pred_classes"], targets["boxes"],
+        targets["labels"], out["n_boxes"], targets["n_boxes"], bbox_mode="gt",
+    )
+    losses = crit.compute_losses(out, targets, match, rotation_mode="quat")
+    assert np.isfinite(float(crit.weighted_total(losses)))

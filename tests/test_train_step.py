@@ -1,0 +1,122 @@
+"""Full jitted train step over the virtual 8-device data-parallel mesh."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.config import PoETConfig
+from poet_tpu.engine.train import (
+    TrainState,
+    init_train_state,
+    label_params,
+    make_optimizer,
+    make_train_step,
+)
+from poet_tpu.models import build_model
+from poet_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+from tests.test_model import make_batch, tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    cfg = tiny_config()
+    cfg.optim.lr = 1e-3
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=8, H=64, W=64)
+    tx = make_optimizer(cfg, None, steps_per_epoch=10)  # labels need params; fix below
+    return cfg, model, (images, pad_mask, targets)
+
+
+def test_data_parallel_train_steps(setup):
+    cfg, model, (images, pad_mask, targets) = setup
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg, params, steps_per_epoch=100)
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+    state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    batch = shard_batch({"images": images, "pad_mask": pad_mask, **targets}, mesh)
+    targets_s = {k: batch[k] for k in targets}
+
+    step_fn = make_train_step(model, cfg, tx, donate=False)
+    backbone_before = jax.tree_util.tree_leaves(
+        jax.device_get(state.params["params"]["backbone"])
+    )
+
+    losses = []
+    st = state
+    for i in range(3):
+        st, metrics = step_fn(st, batch["images"], batch["pad_mask"], targets_s,
+                              jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+
+    assert all(np.isfinite(l) for l in losses)
+    assert int(st.step) == 3
+    # frozen backbone untouched
+    backbone_after = jax.tree_util.tree_leaves(
+        jax.device_get(st.params["params"]["backbone"])
+    )
+    for b, a in zip(backbone_before, backbone_after):
+        np.testing.assert_array_equal(b, a)
+    # trainable params moved
+    t_before = jax.device_get(params["params"]["transformer"]["encoder_layer_0"]["linear1"]["kernel"])
+    t_after = jax.device_get(st.params["params"]["transformer"]["encoder_layer_0"]["linear1"]["kernel"])
+    assert np.abs(t_after - t_before).max() > 0
+
+    # loss should drop over a few more steps on a fixed batch
+    for i in range(12):
+        st, metrics = step_fn(st, batch["images"], batch["pad_mask"], targets_s,
+                              jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_param_labels(setup):
+    cfg, model, (images, pad_mask, targets) = setup
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    labels = label_params(params, cfg)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    seen = {}
+    for path, lab in flat:
+        name = jax.tree_util.keystr(path)
+        seen.setdefault(lab, []).append(name)
+    assert all("backbone" in n for n in seen["frozen"])
+    assert any("sampling_offsets" in n for n in seen["linear_proj"])
+    assert any("reference_points" in n for n in seen["linear_proj"]) or not any(
+        "reference_points" in n for ns in seen.values() for n in ns
+    )
+    assert len(seen["main"]) > 10
+
+
+def test_calibrate_labels(setup):
+    cfg, model, (images, pad_mask, targets) = setup
+    import dataclasses
+    cfg2 = PoETConfig.from_dict(cfg.to_dict())
+    cfg2.model.aleatoric = True
+    cfg2.model.calibrate = True
+    model2 = build_model(cfg2)
+    params = model2.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    labels = label_params(params, cfg2)
+    for path, lab in jax.tree_util.tree_leaves_with_path(labels):
+        name = jax.tree_util.keystr(path)
+        if "aleatoric" in name:
+            assert lab == "main", name
+        else:
+            assert lab == "frozen", name
+
+
+def test_lr_schedule():
+    from poet_tpu.engine.train import make_lr_schedule
+
+    sched = make_lr_schedule(2e-4, lr_drop_epochs=2, steps_per_epoch=10)
+    assert sched(0) == pytest.approx(2e-4)
+    assert sched(19) == pytest.approx(2e-4)
+    assert sched(20) == pytest.approx(2e-5)
+    assert sched(45) == pytest.approx(2e-6)
