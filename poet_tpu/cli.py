@@ -1,0 +1,318 @@
+"""CLI — flag-compatible with the reference `main.py` (argparse surface
+mirrors main.py:33-189), dispatching to the TPU-native engine.
+
+Modes (main.py:319-410): train (default), --eval, --eval_bop, --inference,
+--calibrate. Distributed flags (world_size / dist_url / NCCL) are replaced by
+the mesh: all visible devices form the data axis; multi-host via
+`jax.distributed.initialize()` when JAX_COORDINATOR is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import math
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from poet_tpu.config import PoETConfig
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Pose Estimation Transformer (TPU)", add_help=False)
+    # Learning (main.py:38-50)
+    p.add_argument("--lr", default=2e-4, type=float)
+    p.add_argument("--lr_backbone_names", default=["backbone"], type=str, nargs="+")
+    p.add_argument("--lr_backbone", default=2e-5, type=float)
+    p.add_argument("--lr_linear_proj_names",
+                   default=["reference_points", "sampling_offsets"], type=str, nargs="+")
+    p.add_argument("--lr_linear_proj_mult", default=0.1, type=float)
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--eval_batch_size", default=16, type=int)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--epochs", default=50, type=int)
+    p.add_argument("--lr_drop", default=100, type=int)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    # Backbone (main.py:52-71)
+    p.add_argument("--backbone", default="maskrcnn", type=str,
+                   choices=["yolov4", "maskrcnn", "fasterrcnn"])
+    p.add_argument("--backbone_cfg", default="", type=str)
+    p.add_argument("--backbone_weights", default=None, type=str)
+    p.add_argument("--backbone_conf_thresh", default=0.4, type=float)
+    p.add_argument("--backbone_iou_thresh", default=0.5, type=float)
+    p.add_argument("--backbone_agnostic_nms", action="store_true")
+    p.add_argument("--position_embedding", default="sine", type=str,
+                   choices=("sine", "learned"))
+    p.add_argument("--position_embedding_scale", default=2 * math.pi, type=float)
+    p.add_argument("--num_feature_levels", default=4, type=int)
+    # PoET (main.py:73-83)
+    p.add_argument("--bbox_mode", default="gt", type=str,
+                   choices=("gt", "backbone", "jitter"))
+    p.add_argument("--reference_points", default="bbox", type=str,
+                   choices=("bbox", "learned"))
+    p.add_argument("--query_embedding", default="bbox", type=str,
+                   choices=("bbox", "learned"))
+    p.add_argument("--rotation_representation", default="6d", type=str,
+                   choices=("6d", "quat", "silho_quat"))
+    p.add_argument("--class_mode", default="specific", type=str,
+                   choices=("agnostic", "specific"))
+    # Transformer (main.py:85-101)
+    p.add_argument("--enc_layers", default=6, type=int)
+    p.add_argument("--dec_layers", default=6, type=int)
+    p.add_argument("--dim_feedforward", default=1024, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--nheads", default=8, type=int)
+    p.add_argument("--num_queries", default=10, type=int)
+    p.add_argument("--dec_n_points", default=4, type=int)
+    p.add_argument("--enc_n_points", default=4, type=int)
+    # Uncertainty (main.py:103-105)
+    p.add_argument("--aleatoric", action="store_true")
+    p.add_argument("--calibrate", action="store_true")
+    # Matcher (main.py:107-114)
+    p.add_argument("--matcher_type", default="pose", choices=["pose"], type=str)
+    p.add_argument("--set_cost_class", default=1, type=float)
+    p.add_argument("--set_cost_bbox", default=1, type=float)
+    p.add_argument("--set_cost_giou", default=2, type=float)
+    # Loss (main.py:116-122)
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
+    p.add_argument("--translation_loss_coef", default=1, type=float)
+    p.add_argument("--rotation_loss_coef", default=1, type=float)
+    # Dataset (main.py:124-139)
+    p.add_argument("--dataset", default="ycbv", type=str, choices=("ycbv", "lmo"))
+    p.add_argument("--dataset_path", default="/data", type=str)
+    p.add_argument("--train_set", default="train", type=str)
+    p.add_argument("--eval_set", default="test", type=str)
+    p.add_argument("--synt_background", default=None, type=str)
+    p.add_argument("--n_classes", default=21, type=int)
+    p.add_argument("--jitter_probability", default=0.5, type=float)
+    p.add_argument("--rgb_augmentation", action="store_true")
+    p.add_argument("--grayscale", action="store_true")
+    # Evaluator (main.py:141-149)
+    p.add_argument("--eval_interval", type=int, default=10)
+    p.add_argument("--class_info", type=str, default="/annotations/classes.json")
+    p.add_argument("--models", type=str, default="/models_eval/")
+    p.add_argument("--model_symmetry", type=str, default="/annotations/symmetries.json")
+    # Inference (main.py:151-157)
+    p.add_argument("--inference", action="store_true")
+    p.add_argument("--inference_path", type=str, default=None)
+    p.add_argument("--inference_output", type=str, default=None)
+    # Misc (main.py:159-174)
+    p.add_argument("--sgd", action="store_true")
+    p.add_argument("--save_interval", default=5, type=int)
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_bop", action="store_true")
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--cache_mode", default=False, action="store_true")
+    # TPU runtime (replaces main.py:176-187 distributed flags)
+    p.add_argument("--mesh_data", default=-1, type=int,
+                   help="devices on the data axis (-1: all)")
+    p.add_argument("--dtype", default="float32", type=str)
+    return p
+
+
+def args_to_config(args) -> PoETConfig:
+    cfg = PoETConfig()
+    o, b, m, mt, l, d, e, r = (cfg.optim, cfg.backbone, cfg.model, cfg.matcher,
+                               cfg.loss, cfg.data, cfg.eval, cfg.runtime)
+    for k in ("lr", "lr_backbone", "lr_linear_proj_mult", "batch_size",
+              "eval_batch_size", "weight_decay", "epochs", "lr_drop",
+              "clip_max_norm", "sgd"):
+        setattr(o, k, getattr(args, k))
+    o.lr_backbone_names = tuple(args.lr_backbone_names)
+    o.lr_linear_proj_names = tuple(args.lr_linear_proj_names)
+    b.name = args.backbone
+    b.cfg_path = args.backbone_cfg
+    b.weights = args.backbone_weights
+    b.conf_thresh = args.backbone_conf_thresh
+    b.iou_thresh = args.backbone_iou_thresh
+    b.agnostic_nms = args.backbone_agnostic_nms
+    b.position_embedding = args.position_embedding
+    b.position_embedding_scale = args.position_embedding_scale
+    for k in ("bbox_mode", "reference_points", "query_embedding",
+              "rotation_representation", "class_mode", "enc_layers", "dec_layers",
+              "dim_feedforward", "hidden_dim", "dropout", "nheads", "num_queries",
+              "dec_n_points", "enc_n_points", "aleatoric", "calibrate",
+              "aux_loss", "n_classes", "num_feature_levels"):
+        setattr(m, k, getattr(args, k))
+    mt.matcher_type = args.matcher_type
+    mt.set_cost_class = args.set_cost_class
+    mt.set_cost_bbox = args.set_cost_bbox
+    mt.set_cost_giou = args.set_cost_giou
+    l.translation_loss_coef = args.translation_loss_coef
+    l.rotation_loss_coef = args.rotation_loss_coef
+    for k in ("dataset", "dataset_path", "train_set", "eval_set", "synt_background",
+              "jitter_probability", "rgb_augmentation", "grayscale", "num_workers",
+              "cache_mode"):
+        setattr(d, k, getattr(args, k))
+    e.eval_interval = args.eval_interval
+    e.class_info = args.class_info
+    e.models_path = args.models
+    e.model_symmetry = args.model_symmetry
+    for k in ("inference", "inference_path", "inference_output", "save_interval",
+              "output_dir", "seed", "resume", "start_epoch", "eval", "eval_bop",
+              "mesh_data", "dtype"):
+        setattr(r, k, getattr(args, k))
+    return cfg
+
+
+def main(cfg: PoETConfig):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from poet_tpu.data.dataset import build_dataset
+    from poet_tpu.data.loader import PoseDataLoader
+    from poet_tpu.engine.checkpoint import (
+        checkpoint_paths_for_epoch, load_checkpoint, merge_params, save_checkpoint,
+    )
+    from poet_tpu.engine.evaluate import bop_evaluate, pose_evaluate
+    from poet_tpu.engine.inference import inference
+    from poet_tpu.engine.metrics import MetricLogger, SmoothedValue
+    from poet_tpu.engine.train import TrainState, make_optimizer, make_train_step
+    from poet_tpu.evaluation.pose_evaluator import build_pose_evaluator
+    from poet_tpu.models import build_model
+    from poet_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+    # seed (main.py:198-202; per-process offset)
+    seed = cfg.runtime.seed + jax.process_index()
+    np.random.seed(seed)
+
+    n_dev = len(jax.devices()) if cfg.runtime.mesh_data == -1 else cfg.runtime.mesh_data
+    # the data axis must divide every batch; shrink to the gcd if needed
+    n_data = math.gcd(n_dev, math.gcd(cfg.optim.batch_size, cfg.optim.eval_batch_size))
+    if n_data != n_dev:
+        print(f"mesh: shrinking data axis {n_dev} -> {n_data} to divide batch sizes")
+    mesh = create_mesh(n_data)
+    is_main = jax.process_index() == 0
+
+    model = build_model(cfg)
+    output_dir = Path(cfg.runtime.output_dir) if cfg.runtime.output_dir else None
+    if output_dir:
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+    # datasets + loaders
+    def make_loader(split, batch_size, shuffle):
+        ds = build_dataset(split, cfg)
+        return PoseDataLoader(
+            ds, batch_size=batch_size, num_queries=cfg.model.num_queries,
+            shuffle=shuffle, drop_last=shuffle, seed=cfg.runtime.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+            num_workers=cfg.data.num_workers or 4,
+            with_jitter=(cfg.model.bbox_mode == "jitter"),
+            device_put_fn=lambda b: shard_batch(b, mesh),
+            pad_to_full_batch=not shuffle,
+        )
+
+    if cfg.runtime.inference:
+        params = _restore_params(model, cfg)
+        return inference(model, params, cfg)
+
+    loader_val = make_loader(cfg.data.eval_set, cfg.optim.eval_batch_size, False)
+
+    # init model params from one sample batch
+    sample = next(iter(loader_val.epoch(0)))
+    images, pad_mask, targets = sample
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), images, pad_mask, targets)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print("number of params:", n_params)
+
+    if cfg.runtime.resume:
+        payload, start_epoch = load_checkpoint(cfg.runtime.resume)
+        params, missing, unexpected = merge_params(params, payload["params"])
+        if missing:
+            print("Missing Keys:", missing)
+        if unexpected:
+            print("Unexpected Keys:", unexpected)
+        if not cfg.runtime.eval:
+            cfg.runtime.start_epoch = start_epoch
+
+    if cfg.runtime.eval or cfg.runtime.eval_bop:
+        evaluator = build_pose_evaluator(cfg)
+        if cfg.runtime.eval:
+            return pose_evaluate(model, params, evaluator, loader_val, cfg,
+                                 cfg.data.eval_set)
+        return bop_evaluate(model, params, loader_val, cfg, cfg.data.eval_set)
+
+    # ---- training
+    loader_train = make_loader(cfg.data.train_set, cfg.optim.batch_size, True)
+    evaluator = build_pose_evaluator(cfg)
+    steps_per_epoch = loader_train.steps_per_epoch()
+    tx = make_optimizer(cfg, params, steps_per_epoch)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    state = replicate(state, mesh)
+    step_fn = make_train_step(model, cfg, tx)
+
+    print("Start training")
+    start_time = time.time()
+    rng = jax.random.PRNGKey(seed)
+    for epoch in range(cfg.runtime.start_epoch, cfg.optim.epochs):
+        logger = MetricLogger()
+        logger.add_meter("lr", SmoothedValue(1, "{value:.6f}"))
+        header = f"Epoch: [{epoch}]"
+        for images, pad_mask, targets in logger.log_every(
+            loader_train.epoch(epoch), 10, header
+        ):
+            rng, drng = jax.random.split(rng)
+            state, metrics = step_fn(state, images, pad_mask, targets, drng)
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                print(f"Loss is {loss}, stopping training")
+                print({k: float(v) for k, v in metrics.items()})
+                raise SystemExit(1)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+        print("Averaged stats:", logger)
+
+        if output_dir and is_main:
+            for name in checkpoint_paths_for_epoch(str(output_dir), epoch, cfg):
+                save_checkpoint(str(output_dir), name, state, epoch, cfg)
+
+        if epoch % cfg.eval.eval_interval == 0:
+            pose_evaluate(model, state.params, evaluator, loader_val, cfg,
+                          cfg.data.eval_set, epoch)
+
+        if output_dir and is_main:
+            log_stats = {f"train_{k}": m.global_avg for k, m in logger.meters.items()}
+            log_stats.update(epoch=epoch, n_parameters=n_params)
+            with (output_dir / "log.txt").open("a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+
+    total = time.time() - start_time
+    print("Training time", str(datetime.timedelta(seconds=int(total))))
+    print("Evaluate final trained model")
+    pose_evaluate(model, state.params, evaluator, loader_val, cfg, cfg.data.eval_set)
+
+
+def _restore_params(model, cfg: PoETConfig):
+    from poet_tpu.engine.checkpoint import load_checkpoint
+
+    assert cfg.runtime.resume, "inference requires --resume checkpoint"
+    payload, _ = load_checkpoint(cfg.runtime.resume)
+    return payload["params"]
+
+
+def run():
+    parser = argparse.ArgumentParser(
+        "PoET training and evaluation script", parents=[get_args_parser()]
+    )
+    args = parser.parse_args()
+    cfg = args_to_config(args)
+    if cfg.runtime.output_dir:
+        Path(cfg.runtime.output_dir).mkdir(parents=True, exist_ok=True)
+    if cfg.runtime.inference:
+        cfg.model.bbox_mode = "backbone"  # main.py:407
+    main(cfg)
+
+
+if __name__ == "__main__":
+    run()

@@ -72,6 +72,8 @@ class ModelConfig:
     calibrate: bool = False
     aux_loss: bool = True
     n_classes: int = 21
+    # transformer compute dtype; params stay f32 (mixed precision)
+    dtype: str = "float32"
 
     @property
     def rot_dim(self) -> int:

@@ -43,6 +43,7 @@ class PoseDataLoader:
         with_jitter: bool = False,
         device_put_fn=None,          # batch dict -> device batch (e.g. shard_batch)
         prefetch: int = 2,
+        pad_to_full_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +57,11 @@ class PoseDataLoader:
         self.with_jitter = with_jitter
         self.device_put_fn = device_put_fn
         self.prefetch = prefetch
+        # Static-shape rule: a ragged final batch is padded with dummy rows
+        # (zero images, n_boxes = 0, image_id = -1) so every batch has the
+        # same shape and divides the device mesh; dummies cannot produce
+        # matches, so metrics are unaffected.
+        self.pad_to_full_batch = pad_to_full_batch
 
     # -- sampling (DistributedSampler parity, samplers.py:48-66) ----------
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -96,9 +102,17 @@ class PoseDataLoader:
         def make_batch(idx_list):
             items = list(pool.map(lambda i: load_one(i, epoch), idx_list))
             images = np.stack([im for im, _ in items])
+            tgt_list = [t for _, t in items]
+            if self.pad_to_full_batch and len(items) < self.batch_size:
+                n_pad = self.batch_size - len(items)
+                images = np.concatenate(
+                    [images, np.zeros((n_pad,) + images.shape[1:], images.dtype)]
+                )
+                tgt_list += [{"boxes": np.zeros((0, 4)), "labels": np.zeros((0,)),
+                              "image_id": -1}] * n_pad
             pad_mask = np.zeros(images.shape[:3], dtype=bool)
             targets = pad_targets(
-                [t for _, t in items], self.num_queries, with_jitter=self.with_jitter
+                tgt_list, self.num_queries, with_jitter=self.with_jitter
             )
             batch = (images, pad_mask, targets)
             if self.device_put_fn is not None:
@@ -111,8 +125,9 @@ class PoseDataLoader:
                     if stop.is_set():
                         return
                     out_q.put(make_batch(b))
-            finally:
                 out_q.put(None)
+            except BaseException as e:  # propagate into the consumer
+                out_q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -121,6 +136,8 @@ class PoseDataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

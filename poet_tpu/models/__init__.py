@@ -8,10 +8,16 @@ from typing import Tuple
 from flax import linen as nn
 
 from poet_tpu.config import PoETConfig
-from poet_tpu.models.backbone import MaskRCNNFeatureBackbone
+from poet_tpu.models.backbone import (
+    MaskRCNNDetectorBackbone,
+    MaskRCNNFeatureBackbone,
+)
 from poet_tpu.models.poet import MLP, PoET  # noqa: F401
 from poet_tpu.models.matcher import MatchResult, match_poses  # noqa: F401
 from poet_tpu.models import criterion  # noqa: F401
+
+# LM-O dataset id remap (backbone_maskrcnn.py:55-57)
+LMO_OBJ_ID_MAP = ((1, 1), (5, 2), (6, 3), (8, 4), (9, 5), (10, 6), (11, 7), (12, 8))
 
 
 def build_model(cfg: PoETConfig) -> PoET:
@@ -20,9 +26,22 @@ def build_model(cfg: PoETConfig) -> PoET:
     The criterion/matcher are pure functions (poet_tpu.models.criterion /
     .matcher) rather than stateful modules — see engine.train for how they
     compose into the jitted train step.
+
+    In gt/jitter bbox modes, the detector heads are never consumed
+    (pose_estimation_transformer.py:203-239 only touches feature maps), so
+    the cheaper feature-only backbone is used; 'backbone' mode and inference
+    get the full RPN + RoI-heads detector.
     """
     if cfg.backbone.name in ("maskrcnn", "fasterrcnn"):
-        backbone = MaskRCNNFeatureBackbone()
+        if cfg.model.bbox_mode == "backbone" or cfg.runtime.inference:
+            obj_map = LMO_OBJ_ID_MAP if cfg.data.dataset == "lmo" else None
+            backbone = MaskRCNNDetectorBackbone(
+                num_classes=cfg.model.n_classes + 1,
+                max_detections=cfg.backbone.max_detections,
+                obj_id_map=obj_map,
+            )
+        else:
+            backbone = MaskRCNNFeatureBackbone()
     else:
         raise NotImplementedError(
             f"backbone {cfg.backbone.name!r} not available yet (yolov4 lands later)"

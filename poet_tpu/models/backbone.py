@@ -19,6 +19,51 @@ from poet_tpu.models.resnet_fpn import ResNetFPN, downsample_mask
 from poet_tpu.ops.embeddings import position_embedding_sine
 
 
+class MaskRCNNDetectorBackbone(nn.Module):
+    """ResNet-50-FPN features + RPN/RoI detections (one FPN pass).
+
+    Full parity with MaskRCNNBackbone.forward (backbone_maskrcnn.py:59-126):
+    returns PoET's feature levels ['2', '3', 'pool'] plus per-image
+    fixed-size detections for bbox_mode='backbone' / inference. The LM-O raw
+    object-id remap {1,5,6,8,9,10,11,12}->{1..8} (backbone_maskrcnn.py:55-57,
+    101-107) is applied to detection labels; unmapped raw ids are dropped.
+    """
+
+    num_classes: int = 22           # incl. background (rcnn cfg label map)
+    max_detections: int = 100
+    obj_id_map: Optional[Tuple[Tuple[int, int], ...]] = None  # ((raw, new), ...)
+    return_layers: Tuple[str, ...] = ("2", "3", "pool")
+    train_backbone: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
+        from poet_tpu.models.maskrcnn import MaskRCNNDetector
+
+        feats = ResNetFPN(name="fpn_body")(images)
+        if not self.train_backbone:
+            feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
+        dets = MaskRCNNDetector(
+            num_classes=self.num_classes,
+            max_detections=self.max_detections,
+            name="detector",
+        )(feats, images.shape[1:3])
+
+        if self.obj_id_map is not None:
+            raw = dets["labels"]
+            mapped = jnp.full_like(raw, -1)
+            for src, dst in self.obj_id_map:
+                mapped = jnp.where(raw == src, dst, mapped)
+            dets["valid"] = dets["valid"] & (mapped > 0)
+            dets["labels"] = mapped
+
+        features, masks = [], []
+        for name in sorted(self.return_layers):
+            x = feats[name]
+            features.append(x)
+            masks.append(downsample_mask(pad_mask, x.shape[1:3]))
+        return features, masks, dets
+
+
 class MaskRCNNFeatureBackbone(nn.Module):
     """ResNet-50-FPN feature levels ['2', '3', 'pool'] (strides 16/32/64).
 

@@ -1,0 +1,257 @@
+"""Mask R-CNN detection path (RPN + RoI heads) — static-shape, flax.
+
+TPU-native equivalent of the torchvision detection stack the reference drives
+manually in models/backbone_maskrcnn.py:59-116 (anchors -> RPN head -> decode
+-> filter_proposals -> roi_heads -> per-image [x1, y1, x2, y2, score, label]
+rows). Naming/structure mirror torchvision so its checkpoints port 1:1:
+
+  rpn.head.conv / cls_logits / bbox_pred
+  roi_heads.box_head.fc6 / fc7, roi_heads.box_predictor.cls_score / bbox_pred
+
+All shape-dynamic torchvision ops (per-level top-k, NMS, per-class filtering)
+become fixed-size candidate sets with validity masks (poet_tpu.ops.detection).
+Inference-only: the reference always runs the detector frozen in eval mode
+(models/backbone.py:36-40); RPN/RoI training losses are out of parity scope.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from poet_tpu.ops.detection import (
+    batched_class_nms,
+    multiscale_roi_align,
+    nms_padded,
+)
+
+# torchvision GeneralizedRCNN defaults (used by MaskRCNN in the reference)
+ANCHOR_SIZES = ((32,), (64,), (128,), (256,), (512,))
+ASPECT_RATIOS = (0.5, 1.0, 2.0)
+PRE_NMS_TOP_N = 1000
+POST_NMS_TOP_N = 1000
+RPN_NMS_THRESH = 0.7
+RPN_MIN_SIZE = 1e-3
+BOX_SCORE_THRESH = 0.05
+BOX_NMS_THRESH = 0.5
+DETECTIONS_PER_IMG = 100
+BBOX_XFORM_CLIP = math.log(1000.0 / 16)
+
+
+def generate_anchors(grid_sizes, strides, sizes=ANCHOR_SIZES, ratios=ASPECT_RATIOS):
+    """Per-level anchor grids (numpy, static). torchvision AnchorGenerator:
+    h = s*sqrt(r), w = s/sqrt(r), rounded base anchors centered at 0, shifted
+    by stride * (x, y)."""
+    all_anchors = []
+    for (gh, gw), stride, size in zip(grid_sizes, strides, sizes):
+        s = np.asarray(size, dtype=np.float32)
+        r = np.asarray(ratios, dtype=np.float32)
+        h_r = np.sqrt(r)
+        w_r = 1.0 / h_r
+        ws = (w_r[:, None] * s[None, :]).reshape(-1)
+        hs = (h_r[:, None] * s[None, :]).reshape(-1)
+        base = np.stack([-ws, -hs, ws, hs], axis=1) / 2.0
+        base = np.round(base)
+        sx = np.arange(gw, dtype=np.float32) * stride
+        sy = np.arange(gh, dtype=np.float32) * stride
+        yy, xx = np.meshgrid(sy, sx, indexing="ij")
+        shifts = np.stack([xx, yy, xx, yy], axis=-1).reshape(-1, 1, 4)
+        anchors = (shifts + base[None]).reshape(-1, 4)
+        all_anchors.append(anchors.astype(np.float32))
+    return all_anchors
+
+
+def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """torchvision BoxCoder.decode: deltas (N, 4) + anchors (N, 4) xyxy."""
+    wx, wy, ww, wh = weights
+    widths = anchors[:, 2] - anchors[:, 0]
+    heights = anchors[:, 3] - anchors[:, 1]
+    cx = anchors[:, 0] + 0.5 * widths
+    cy = anchors[:, 1] + 0.5 * heights
+    dx = deltas[:, 0] / wx
+    dy = deltas[:, 1] / wy
+    dw = jnp.clip(deltas[:, 2] / ww, None, BBOX_XFORM_CLIP)
+    dh = jnp.clip(deltas[:, 3] / wh, None, BBOX_XFORM_CLIP)
+    pcx = dx * widths + cx
+    pcy = dy * heights + cy
+    pw = jnp.exp(dw) * widths
+    ph = jnp.exp(dh) * heights
+    return jnp.stack(
+        [pcx - 0.5 * pw, pcy - 0.5 * ph, pcx + 0.5 * pw, pcy + 0.5 * ph], axis=1
+    )
+
+
+def clip_boxes(boxes: jnp.ndarray, image_size) -> jnp.ndarray:
+    H, W = image_size
+    x = jnp.clip(boxes[:, 0::2], 0, W)
+    y = jnp.clip(boxes[:, 1::2], 0, H)
+    return jnp.stack([x[:, 0], y[:, 0], x[:, 1], y[:, 1]], axis=1)
+
+
+class RPNHead(nn.Module):
+    """torchvision RPNHead: shared 3x3 conv + 1x1 objectness / deltas."""
+
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]):
+        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred")
+        logits, deltas = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(cls(t))
+            deltas.append(reg(t))
+        return logits, deltas
+
+
+class TwoMLPHead(nn.Module):
+    """torchvision TwoMLPHead (fc6/fc7, 1024 each)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, name="fc6")(x))
+        x = nn.relu(nn.Dense(1024, name="fc7")(x))
+        return x
+
+
+class FastRCNNPredictor(nn.Module):
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskRCNNDetector(nn.Module):
+    """RPN + box RoI heads over FPN features; per-image fixed-size detections.
+
+    __call__ consumes the FPN level dict {'0'..'3', 'pool'} (channels-last)
+    and returns {boxes (B, K, 4) xyxy, scores (B, K), labels (B, K) int32,
+    valid (B, K)} with K = max_detections.
+    """
+
+    num_classes: int
+    max_detections: int = DETECTIONS_PER_IMG
+    score_thresh: float = BOX_SCORE_THRESH
+    nms_thresh: float = BOX_NMS_THRESH
+    post_nms_top_n: int = POST_NMS_TOP_N
+
+    @nn.compact
+    def __call__(self, fpn_feats: Dict[str, jnp.ndarray], image_size: Tuple[int, int]):
+        levels = ["0", "1", "2", "3", "pool"]
+        feats = [fpn_feats[k] for k in levels]
+        B = feats[0].shape[0]
+        grid_sizes = [f.shape[1:3] for f in feats]
+        strides = [image_size[0] // g[0] for g in grid_sizes]
+
+        logits, deltas = RPNHead(len(ASPECT_RATIOS), name="rpn_head")(feats)
+        anchors = [jnp.asarray(a) for a in generate_anchors(grid_sizes, strides)]
+
+        # ---- proposals per image (torchvision filter_proposals semantics)
+        def proposals_one(args):
+            lg, dl = args  # lists indexed by level, single image
+
+            lvl_boxes, lvl_scores = [], []
+            for lv in range(len(levels)):
+                obj = lg[lv].reshape(-1)                       # (A*H*W,) NHWC->A last
+                dts = dl[lv].reshape(-1, 4)
+                anc = anchors[lv]
+                k = min(PRE_NMS_TOP_N, obj.shape[0])
+                top_scores, top_i = jax.lax.top_k(obj, k)
+                boxes = decode_boxes(dts[top_i], anc[top_i])
+                boxes = clip_boxes(boxes, image_size)
+                ws = boxes[:, 2] - boxes[:, 0]
+                hs = boxes[:, 3] - boxes[:, 1]
+                valid = (ws >= RPN_MIN_SIZE) & (hs >= RPN_MIN_SIZE)
+                scores = jnp.where(valid, top_scores, -jnp.inf)
+                keep_idx, keep_valid = nms_padded(
+                    boxes, scores, RPN_NMS_THRESH,
+                    min(self.post_nms_top_n, k),
+                )
+                lvl_boxes.append(boxes[keep_idx])
+                lvl_scores.append(jnp.where(keep_valid, scores[keep_idx], -jnp.inf))
+            all_boxes = jnp.concatenate(lvl_boxes)
+            all_scores = jnp.concatenate(lvl_scores)
+            k = min(self.post_nms_top_n, all_scores.shape[0])
+            top_scores, top_i = jax.lax.top_k(all_scores, k)
+            return all_boxes[top_i], jnp.isfinite(top_scores)
+
+        # reshape NHWC anchor-channel layout to torchvision's (A, H, W) flatten
+        def reflatten(x, per_anchor):
+            # (H, W, A*per) -> (A*H*W, per) matching anchors (grid-major, A minor)
+            Hh, Ww, _ = x.shape
+            return x.reshape(Hh * Ww * len(ASPECT_RATIOS), per_anchor)
+
+        prop_boxes, prop_valid = [], []
+        for b in range(B):
+            lg = [reflatten(logits[lv][b], 1) for lv in range(len(levels))]
+            dl = [reflatten(deltas[lv][b], 4) for lv in range(len(levels))]
+            pb, pv = proposals_one((lg, dl))
+            prop_boxes.append(pb)
+            prop_valid.append(pv)
+        prop_boxes = jnp.stack(prop_boxes)                      # (B, P, 4)
+        prop_valid = jnp.stack(prop_valid)
+
+        # ---- RoI heads (levels 0-3 only, torchvision MultiScaleRoIAlign)
+        box_head = TwoMLPHead(name="box_head")
+        predictor = FastRCNNPredictor(self.num_classes, name="box_predictor")
+
+        det_boxes, det_scores, det_labels, det_valid = [], [], [], []
+        for b in range(B):
+            pooled = multiscale_roi_align(
+                [feats[lv][b] for lv in range(4)], strides[:4],
+                prop_boxes[b], output_size=7, sampling_ratio=2,
+            )                                                  # (P, 7, 7, C)
+            # torchvision flattens NCHW: (C, 7, 7) order
+            pooled = jnp.transpose(pooled, (0, 3, 1, 2))
+            x = box_head(pooled)
+            class_logits, box_deltas = predictor(x)
+            scores = jax.nn.softmax(class_logits, axis=-1)     # (P, n_cls)
+            P = scores.shape[0]
+            ncls = self.num_classes
+            # decode per class (weights (10, 10, 5, 5))
+            deltas_pc = box_deltas.reshape(P * ncls, 4)
+            anchors_pc = jnp.repeat(prop_boxes[b], ncls, axis=0)
+            boxes_pc = decode_boxes(deltas_pc, anchors_pc, weights=(10.0, 10.0, 5.0, 5.0))
+            boxes_pc = clip_boxes(boxes_pc, image_size)        # (P*ncls, 4)
+            scores_pc = scores.reshape(P * ncls)
+            labels_pc = jnp.tile(jnp.arange(ncls), (P,))
+            valid_pc = (
+                (labels_pc > 0)                                 # drop background
+                & (scores_pc > self.score_thresh)
+                & jnp.repeat(prop_valid[b], ncls)
+                & ((boxes_pc[:, 2] - boxes_pc[:, 0]) >= 1e-2)   # remove_small 0.01
+                & ((boxes_pc[:, 3] - boxes_pc[:, 1]) >= 1e-2)
+            )
+            # cap candidates before NMS to bound the IoU matrix
+            cand = min(4 * self.max_detections, P * ncls)
+            cand_scores, cand_i = jax.lax.top_k(
+                jnp.where(valid_pc, scores_pc, -jnp.inf), cand
+            )
+            keep_idx, keep_valid = batched_class_nms(
+                boxes_pc[cand_i], cand_scores, labels_pc[cand_i],
+                jnp.isfinite(cand_scores), self.nms_thresh, self.max_detections,
+            )
+            sel = cand_i[keep_idx]
+            det_boxes.append(boxes_pc[sel])
+            det_scores.append(jnp.where(keep_valid, scores_pc[sel], 0.0))
+            det_labels.append(jnp.where(keep_valid, labels_pc[sel], -1).astype(jnp.int32))
+            det_valid.append(keep_valid)
+
+        return {
+            "boxes": jnp.stack(det_boxes),
+            "scores": jnp.stack(det_scores),
+            "labels": jnp.stack(det_labels),
+            "valid": jnp.stack(det_valid),
+        }

@@ -134,6 +134,7 @@ class PoET(nn.Module):
         # ---- reference points (:337-340) ----------------------------------
         reference_points = t_boxes[:, :, :2] if cfg.reference_points == "bbox" else None
 
+        compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         hs, init_reference, _ = DeformableTransformer(
             d_model=C,
             nhead=cfg.nheads,
@@ -144,6 +145,7 @@ class PoET(nn.Module):
             num_feature_levels=cfg.num_feature_levels,
             dec_n_points=cfg.dec_n_points,
             enc_n_points=cfg.enc_n_points,
+            dtype=compute_dtype,
             name="transformer",
         )(srcs, masks, pos, query_embeds, reference_points, deterministic)
         # hs: (n_dec_layers, B, Q, C)

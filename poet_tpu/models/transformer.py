@@ -24,6 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from poet_tpu.ops.deform_attn import ms_deform_attn_mxu, ms_deform_attn_xla
+from poet_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
 
 
 def _grid_init_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
@@ -58,6 +59,7 @@ class MSDeformAttn(nn.Module):
     # 'mxu': one-hot-matmul sampling (TPU-fast); 'gather': take_along_axis
     # reference path (used for cross-checking; slow on TPU).
     impl: str = "mxu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -73,7 +75,7 @@ class MSDeformAttn(nn.Module):
         H, L, P = self.n_heads, self.n_levels, self.n_points
         head_dim = C // H
 
-        value = nn.Dense(self.d_model, name="value_proj")(input_flatten)
+        value = nn.Dense(self.d_model, name="value_proj", dtype=self.dtype)(input_flatten)
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, H, head_dim)
@@ -81,6 +83,7 @@ class MSDeformAttn(nn.Module):
         offsets = nn.Dense(
             H * L * P * 2,
             name="sampling_offsets",
+            dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
                 _grid_init_bias(H, L, P), dtype
@@ -90,6 +93,7 @@ class MSDeformAttn(nn.Module):
         attn = nn.Dense(
             H * L * P,
             name="attention_weights",
+            dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
         )(query).reshape(B, Q, H, L * P)
@@ -103,9 +107,12 @@ class MSDeformAttn(nn.Module):
             + offsets / wh[None, None, None, :, None, :]
         )  # (B, Q, H, L, P, 2)
 
-        core = ms_deform_attn_mxu if self.impl == "mxu" else ms_deform_attn_xla
-        out = core(value, tuple(spatial_shapes), locations, attn)
-        return nn.Dense(self.d_model, name="output_proj")(out)
+        if self.impl == "pallas":
+            out = ms_deform_attn_pallas(value, tuple(spatial_shapes), locations, attn)
+        else:
+            core = ms_deform_attn_mxu if self.impl == "mxu" else ms_deform_attn_xla
+            out = core(value, tuple(spatial_shapes), locations, attn)
+        return nn.Dense(self.d_model, name="output_proj", dtype=self.dtype)(out)
 
 
 class EncoderLayer(nn.Module):
@@ -117,19 +124,21 @@ class EncoderLayer(nn.Module):
     n_heads: int
     n_points: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, deterministic):
         q = src + pos
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                            dtype=self.dtype,
                             name="self_attn")(q, reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         src = nn.LayerNorm(name="norm1")(src)
         # FFN
-        src2 = nn.Dense(self.d_ffn, name="linear1")(src)
+        src2 = nn.Dense(self.d_ffn, name="linear1", dtype=self.dtype)(src)
         src2 = nn.relu(src2)
         src2 = nn.Dropout(self.dropout, deterministic=deterministic)(src2)
-        src2 = nn.Dense(self.d_model, name="linear2")(src2)
+        src2 = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(src2)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         src = nn.LayerNorm(name="norm2")(src)
         return src
@@ -146,6 +155,7 @@ class DecoderLayer(nn.Module):
     n_heads: int
     n_points: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -158,6 +168,7 @@ class DecoderLayer(nn.Module):
             out_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
             name="self_attn",
         )(inputs_q=q, inputs_k=k, inputs_v=tgt)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
@@ -165,16 +176,17 @@ class DecoderLayer(nn.Module):
 
         # cross attention
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                            dtype=self.dtype,
                             name="cross_attn")(tgt + query_pos, reference_points, src,
                                                spatial_shapes, src_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
         tgt = nn.LayerNorm(name="norm1")(tgt)
 
         # FFN
-        tgt2 = nn.Dense(self.d_ffn, name="linear1")(tgt)
+        tgt2 = nn.Dense(self.d_ffn, name="linear1", dtype=self.dtype)(tgt)
         tgt2 = nn.relu(tgt2)
         tgt2 = nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        tgt2 = nn.Dense(self.d_model, name="linear2")(tgt2)
+        tgt2 = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(tgt2)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
         tgt = nn.LayerNorm(name="norm3")(tgt)
         return tgt
@@ -234,6 +246,7 @@ class DeformableTransformer(nn.Module):
     num_feature_levels: int = 4
     dec_n_points: int = 4
     enc_n_points: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -261,9 +274,9 @@ class DeformableTransformer(nn.Module):
             src_flat.append(src.reshape(B, h * w, C))
             mask_flat.append(mask.reshape(B, h * w))
             pos_flat.append(pos.reshape(B, h * w, C) + level_embed[lvl][None, None])
-        src_flat = jnp.concatenate(src_flat, axis=1)
+        src_flat = jnp.concatenate(src_flat, axis=1).astype(self.dtype)
         mask_flat = jnp.concatenate(mask_flat, axis=1)
-        pos_flat = jnp.concatenate(pos_flat, axis=1)
+        pos_flat = jnp.concatenate(pos_flat, axis=1).astype(self.dtype)
         valid_ratios = compute_valid_ratios(masks)
 
         # ---- encoder
@@ -272,11 +285,12 @@ class DeformableTransformer(nn.Module):
         for i in range(self.num_encoder_layers):
             out = EncoderLayer(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
-                self.enc_n_points, self.dropout, name=f"encoder_layer_{i}",
+                self.enc_n_points, self.dropout, self.dtype, name=f"encoder_layer_{i}",
             )(out, pos_flat, enc_ref, spatial_shapes, mask_flat, deterministic)
         memory = out
 
         # ---- decoder query prep (deformable_transformer.py:150-159)
+        query_embed = query_embed.astype(self.dtype)
         if query_embed.ndim == 2:
             qe, tgt = jnp.split(query_embed, 2, axis=1)
             qe = jnp.broadcast_to(qe[None], (B, *qe.shape))
@@ -297,9 +311,9 @@ class DeformableTransformer(nn.Module):
             ref_input = ref[:, :, None, :] * valid_ratios[:, None, :, :]
             output = DecoderLayer(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
-                self.dec_n_points, self.dropout, name=f"decoder_layer_{i}",
+                self.dec_n_points, self.dropout, self.dtype, name=f"decoder_layer_{i}",
             )(output, qe, ref_input, memory, spatial_shapes, mask_flat, deterministic)
             intermediates.append(output)
 
-        hs = jnp.stack(intermediates)        # (num_dec_layers, B, Q, C)
+        hs = jnp.stack(intermediates).astype(jnp.float32)   # (n_dec_layers, B, Q, C)
         return hs, init_reference, memory

@@ -195,17 +195,19 @@ def ms_deform_attn_mxu(
         idx_c = idx.reshape(B, n_chunks, qc, H, P * 4).transpose(1, 0, 2, 3, 4)
         wgt_c = wgt.reshape(B, n_chunks, qc, H, P * 4).transpose(1, 0, 2, 3, 4)
         iota = jnp.arange(S_l, dtype=jnp.int32)
-        v32 = value_l.astype(f32)
 
-        def chunk_fn(args, _v=v32, _iota=iota):
+        def chunk_fn(args, _v=None, _iota=iota):
             i_c, w_c = args                                   # (B, qc, H, P4)
             # (B, qc, H, P4, S_l) one-hot, weighted, summed over slots — XLA
             # fuses the compare/select/reduce into one pass (no materialize).
             wmat = jnp.sum(
                 jnp.where(i_c[..., None] == _iota, w_c[..., None], 0.0), axis=3
             )                                                 # (B, qc, H, S_l)
+            # matmul in the VALUE dtype: bf16 halves the Wmat HBM traffic,
+            # which dominates this op's cost at encoder scale.
             return jnp.einsum(
-                "bqhs,bshd->bqhd", wmat, _v, preferred_element_type=f32
+                "bqhs,bshd->bqhd", wmat.astype(dtype), value_l,
+                preferred_element_type=f32,
             )
 
         if n_chunks == 1:

@@ -1,0 +1,180 @@
+"""Static-shape NMS / RoIAlign tests.
+
+torchvision is not available in this image, so oracles are independent
+numpy implementations written from the published op definitions, plus
+analytic spot checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from poet_tpu.ops.detection import (
+    batched_class_nms,
+    multiscale_roi_align,
+    nms_padded,
+    pairwise_iou_xyxy,
+    roi_align,
+)
+
+
+def _rand_boxes(rng, n, size=100.0):
+    xy = rng.uniform(0, size * 0.8, size=(n, 2))
+    wh = rng.uniform(2, size * 0.3, size=(n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+def _np_iou(b1, b2):
+    a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
+    a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+    iw = np.maximum(
+        0, np.minimum(b1[:, None, 2], b2[None, :, 2]) - np.maximum(b1[:, None, 0], b2[None, :, 0])
+    )
+    ih = np.maximum(
+        0, np.minimum(b1[:, None, 3], b2[None, :, 3]) - np.maximum(b1[:, None, 1], b2[None, :, 1])
+    )
+    inter = iw * ih
+    return inter / (a1[:, None] + a2[None, :] - inter)
+
+
+def _np_nms(boxes, scores, iou_t):
+    """Greedy NMS oracle (torchvision semantics: desc score, IoU > t suppress)."""
+    order = np.argsort(-scores, kind="stable")
+    keep, suppressed = [], np.zeros(len(boxes), bool)
+    iou = _np_iou(boxes, boxes)
+    for i in order:
+        if suppressed[i] or not np.isfinite(scores[i]):
+            continue
+        keep.append(i)
+        suppressed |= iou[i] > iou_t
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _np_roi_align(feats, boxes, out_size, scale, ratio):
+    """RoIAlign oracle from the Mask R-CNN paper definition (aligned=False)."""
+    H, W, C = feats.shape
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros(C)
+        y = min(max(y, 0.0), H - 1.0)
+        x = min(max(x, 0.0), W - 1.0)
+        y0 = min(int(np.floor(y)), H - 2)
+        x0 = min(int(np.floor(x)), W - 2)
+        fy, fx = y - y0, x - x0
+        return (
+            feats[y0, x0] * (1 - fy) * (1 - fx)
+            + feats[y0, x0 + 1] * (1 - fy) * fx
+            + feats[y0 + 1, x0] * fy * (1 - fx)
+            + feats[y0 + 1, x0 + 1] * fy * fx
+        )
+
+    R = len(boxes)
+    out = np.zeros((R, out_size, out_size, C))
+    for r, b in enumerate(boxes):
+        x0, y0, x1, y1 = b * scale
+        rw = max(x1 - x0, 1.0)
+        rh = max(y1 - y0, 1.0)
+        bw, bh = rw / out_size, rh / out_size
+        for i in range(out_size):
+            for j in range(out_size):
+                acc = np.zeros(C)
+                for ky in range(ratio):
+                    for kx in range(ratio):
+                        yy = y0 + (i + (ky + 0.5) / ratio) * bh
+                        xx = x0 + (j + (kx + 0.5) / ratio) * bw
+                        acc += bilinear(yy, xx)
+                out[r, i, j] = acc / (ratio * ratio)
+    return out
+
+
+def test_pairwise_iou(rng):
+    b1 = _rand_boxes(rng, 12)
+    b2 = _rand_boxes(rng, 9)
+    ours = np.asarray(pairwise_iou_xyxy(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(ours, _np_iou(b1, b2), atol=1e-5)
+
+
+@pytest.mark.parametrize("iou_t", [0.3, 0.5, 0.7])
+def test_nms_matches_oracle(rng, iou_t):
+    for trial in range(3):
+        boxes = _rand_boxes(rng, 40)
+        scores = rng.uniform(size=40).astype(np.float32)
+        keep_idx, keep_valid = nms_padded(
+            jnp.asarray(boxes), jnp.asarray(scores), iou_t, max_outputs=40
+        )
+        ours = np.asarray(keep_idx)[np.asarray(keep_valid)]
+        ref = _np_nms(boxes, scores, iou_t)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_nms_respects_invalid(rng):
+    boxes = _rand_boxes(rng, 10)
+    scores = rng.uniform(size=10).astype(np.float32)
+    scores[5:] = -np.inf
+    keep_idx, keep_valid = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 10)
+    kept = np.asarray(keep_idx)[np.asarray(keep_valid)]
+    assert np.all(kept < 5)
+    assert set(kept.tolist()) == set(_np_nms(boxes, scores, 0.5).tolist())
+
+
+def test_nms_max_outputs_truncates(rng):
+    boxes = _rand_boxes(rng, 30)
+    scores = rng.uniform(size=30).astype(np.float32)
+    keep_idx, keep_valid = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.9, 5)
+    ref = _np_nms(boxes, scores, 0.9)[:5]
+    np.testing.assert_array_equal(np.asarray(keep_idx)[np.asarray(keep_valid)], ref)
+
+
+def test_batched_class_nms(rng):
+    boxes = np.tile(_rand_boxes(rng, 10), (2, 1))  # identical boxes, 2 classes
+    scores = rng.uniform(size=20).astype(np.float32)
+    labels = np.repeat([1, 2], 10).astype(np.int32)
+    valid = np.ones(20, bool)
+    keep_idx, keep_valid = batched_class_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        jnp.asarray(valid), 0.5, 20,
+    )
+    ours = set(np.asarray(keep_idx)[np.asarray(keep_valid)].tolist())
+    # oracle: per-class independent NMS
+    ref = set()
+    for cls in (1, 2):
+        m = labels == cls
+        s = scores.copy()
+        s[~m] = -np.inf
+        ref |= set(np.flatnonzero(m)[_np_nms(boxes[m], scores[m], 0.5)].tolist())
+    assert ours == ref
+
+
+def test_roi_align_matches_oracle(rng):
+    H, W, C = 24, 32, 4
+    feats = rng.normal(size=(H, W, C)).astype(np.float32)
+    boxes = np.array(
+        [[8.0, 8.0, 40.0, 32.0], [0.0, 0.0, 62.0, 46.0], [21.0, 6.4, 29.6, 19.8]],
+        dtype=np.float32,
+    )  # image coords at scale 0.5 -> feature coords
+    ours = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(boxes), 7, 0.5, 2))
+    ref = _np_roi_align(feats, boxes, 7, 0.5, 2)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_roi_align_constant_features(rng):
+    """Constant feature map -> every in-bounds bin equals the constant."""
+    feats = np.full((16, 16, 3), 2.5, dtype=np.float32)
+    boxes = np.array([[2.0, 2.0, 10.0, 10.0]], dtype=np.float32)
+    out = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(boxes), 5, 1.0, 2))
+    np.testing.assert_allclose(out, 2.5, atol=1e-6)
+
+
+def test_multiscale_roi_align_levels(rng):
+    sizes = [(32, 32), (16, 16), (8, 8), (4, 4)]
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(h, w, 4)).astype(np.float32)) for h, w in sizes]
+    boxes = jnp.asarray([[0.0, 0, 20, 20], [0.0, 0, 120, 120]], dtype=jnp.float32)
+    out = multiscale_roi_align(feats, strides, boxes, output_size=7)
+    assert out.shape == (2, 7, 7, 4)
+    small = np.asarray(roi_align(feats[0], boxes[:1], 7, 1 / 4, 2))
+    np.testing.assert_allclose(np.asarray(out[0]), small[0], atol=1e-5)
+    big = np.asarray(roi_align(feats[3], boxes[1:], 7, 1 / 32, 2))
+    np.testing.assert_allclose(np.asarray(out[1]), big[0], atol=1e-5)

@@ -1,0 +1,103 @@
+"""Mask R-CNN detection path: structure, decoding, end-to-end backbone mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.models.maskrcnn import (
+    MaskRCNNDetector,
+    decode_boxes,
+    generate_anchors,
+)
+
+
+def test_generate_anchors_structure():
+    grid_sizes = [(8, 8), (4, 4)]
+    strides = [4, 8]
+    anchors = generate_anchors(grid_sizes, strides, sizes=((32,), (64,)))
+    assert anchors[0].shape == (8 * 8 * 3, 4)
+    assert anchors[1].shape == (4 * 4 * 3, 4)
+    # first anchor at (0,0): ratio 0.5 -> h = 32*sqrt(.5)=22.6->23, w = 32/sqrt(.5)=45.25->45
+    a0 = anchors[0][0]
+    np.testing.assert_allclose(a0, [-23.0, -11.0, 23.0, 11.0])
+    # ratio 1.0 anchor
+    a1 = anchors[0][1]
+    np.testing.assert_allclose(a1, [-16.0, -16.0, 16.0, 16.0])
+    # second grid cell shifted by stride
+    np.testing.assert_allclose(anchors[0][3] - a0, [4.0, 0, 4.0, 0])
+
+
+def test_decode_boxes_identity():
+    anchors = jnp.asarray([[10.0, 10, 30, 50]])
+    deltas = jnp.zeros((1, 4))
+    out = np.asarray(decode_boxes(deltas, anchors))
+    np.testing.assert_allclose(out, [[10, 10, 30, 50]], atol=1e-5)
+
+
+def test_decode_boxes_shift_scale():
+    anchors = jnp.asarray([[0.0, 0, 20, 10]])  # w=20 h=10 c=(10,5)
+    deltas = jnp.asarray([[0.5, -0.2, np.log(2.0), np.log(0.5)]])
+    out = np.asarray(decode_boxes(deltas, anchors))
+    # cx = 10 + 0.5*20 = 20; cy = 5 - 0.2*10 = 3; w = 40; h = 5
+    np.testing.assert_allclose(out, [[0.0, 0.5, 40.0, 5.5]], atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def detector_outputs():
+    rng = np.random.default_rng(3)
+    H, W = 64, 64
+    feats = {}
+    for name, stride in zip(["0", "1", "2", "3", "pool"], [4, 8, 16, 32, 64]):
+        feats[name] = jnp.asarray(
+            rng.normal(size=(2, H // stride, W // stride, 256)).astype(np.float32)
+        )
+    det = MaskRCNNDetector(num_classes=5, max_detections=10)
+    params = det.init(jax.random.PRNGKey(0), feats, (H, W))
+    out = det.apply(params, feats, (H, W))
+    return out
+
+
+def test_detector_output_shapes(detector_outputs):
+    out = detector_outputs
+    assert out["boxes"].shape == (2, 10, 4)
+    assert out["scores"].shape == (2, 10)
+    assert out["labels"].shape == (2, 10)
+    assert out["valid"].shape == (2, 10)
+
+
+def test_detector_output_sanity(detector_outputs):
+    out = detector_outputs
+    valid = np.asarray(out["valid"])
+    boxes = np.asarray(out["boxes"])
+    labels = np.asarray(out["labels"])
+    scores = np.asarray(out["scores"])
+    # valid detections: in-frame boxes, foreground labels, score > thresh
+    for b in range(2):
+        for k in range(10):
+            if valid[b, k]:
+                assert 0 <= boxes[b, k, 0] <= boxes[b, k, 2] <= 64
+                assert 0 <= boxes[b, k, 1] <= boxes[b, k, 3] <= 64
+                assert 1 <= labels[b, k] <= 4
+                assert scores[b, k] > 0.05
+            else:
+                assert labels[b, k] == -1
+
+
+def test_backbone_mode_end_to_end(rng):
+    """Full PoET with detector backbone in bbox_mode='backbone'."""
+    from tests.test_model import tiny_config, make_batch
+    from poet_tpu.models import build_model
+
+    cfg = tiny_config(bbox_mode="backbone")
+    cfg.backbone.max_detections = 8
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=2, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out = model.apply(params, images, pad_mask, targets)
+    assert out["translations"].shape == (2, 2, 5, 3)
+    assert out["pred_boxes"].shape == (2, 5, 4)
+    # boxes normalized cxcywh for valid slots; untrained net may detect 0..K
+    n = np.asarray(out["n_boxes"])
+    assert np.all(n >= 0) and np.all(n <= 5)
