@@ -17,23 +17,47 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     from __graft_entry__ import _flagship_setup
 
     cfg, model, images, pad_mask, targets = _flagship_setup(B=16, H=480, W=640)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
 
-    fwd = jax.jit(lambda p, i, m, t: model.apply(p, i, m, t, deterministic=True))
-    out = fwd(params, images, pad_mask, targets)
-    jax.block_until_ready(out)
+    # Timing methodology (calibrated for the axon relay, where
+    # block_until_ready returns early and identical requests can be served
+    # from cache): chain N data-dependent model invocations inside ONE jit,
+    # force a HOST READ of the scalar result, and take the MARGINAL time
+    # between N and 2N iterations — this cancels the ~1.3 s constant relay
+    # round-trip and measures pure device time. Validated against a
+    # known-FLOPs matmul chain (measured 85 TF/s f32 on v5e — sane).
+    def bench_loop_fn(n_iters):
+        @jax.jit
+        def bench_loop(params, images, pad_mask, targets, salt):
+            def body(i, carry):
+                img = images * (1.0 + 1e-7 * carry) + salt
+                out = model.apply(params, img, pad_mask, targets, deterministic=True)
+                return jnp.mean(out["translations"])
 
-    # timed runs
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(params, images, pad_mask, targets)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+            return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        return bench_loop
+
+    n = 5
+    loop_n = bench_loop_fn(n)
+    loop_2n = bench_loop_fn(2 * n)
+    float(loop_n(params, images, pad_mask, targets, jnp.float32(0.0)))    # compile n
+    float(loop_2n(params, images, pad_mask, targets, jnp.float32(0.0)))   # compile 2n
+
+    def timed(fn, salt):
+        t0 = time.perf_counter()
+        float(fn(params, images, pad_mask, targets, jnp.float32(salt)))
+        return time.perf_counter() - t0
+
+    t_n = min(timed(loop_n, 1e-6), timed(loop_n, 2e-6))
+    t_2n = min(timed(loop_2n, 3e-6), timed(loop_2n, 4e-6))
+    dt = max(t_2n - t_n, 1e-9) / n
     images_per_sec = images.shape[0] / dt
 
     print(

