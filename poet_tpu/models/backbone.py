@@ -98,3 +98,26 @@ def add_position_embeddings(
         position_embedding_sine(m, num_pos_feats=hidden_dim // 2, dtype=jnp.float32).astype(dtype)
         for m in masks
     ]
+
+
+class PositionEmbeddingLearned(nn.Module):
+    """Learned 50x50 absolute embedding. Parity: models/position_encoding.py:87-112
+    (row/col embeddings of num_pos_feats each, concatenated)."""
+
+    num_pos_feats: int = 128
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, _ = feature.shape
+        row = self.param("row_embed", nn.initializers.uniform(1.0), (50, self.num_pos_feats))
+        col = self.param("col_embed", nn.initializers.uniform(1.0), (50, self.num_pos_feats))
+        x_emb = col[:W]                                   # (W, F)
+        y_emb = row[:H]                                   # (H, F)
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(x_emb[None, :, :], (H, W, self.num_pos_feats)),
+                jnp.broadcast_to(y_emb[:, None, :], (H, W, self.num_pos_feats)),
+            ],
+            axis=-1,
+        )
+        return jnp.broadcast_to(pos[None], (B, H, W, 2 * self.num_pos_feats))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from poet_tpu.ops.hungarian import hungarian
@@ -105,6 +106,48 @@ def match_poses(
             matched_tgt_cls = jnp.take_along_axis(tgt_labels, tgt_idx, axis=1)
             valid &= pred_classes == matched_tgt_cls
 
+    return MatchResult(tgt_idx=tgt_idx, valid=valid)
+
+
+def match_hungarian(
+    pred_logits: jnp.ndarray,    # (B, Q, n_classes)
+    pred_boxes: jnp.ndarray,     # (B, Q, 4) cxcywh normalized
+    tgt_boxes: jnp.ndarray,      # (B, Q, 4)
+    tgt_labels: jnp.ndarray,     # (B, Q) int
+    n_tgt: jnp.ndarray,          # (B,)
+    cost_class: float = 1.0,
+    cost_bbox: float = 1.0,
+    cost_giou: float = 2.0,
+) -> MatchResult:
+    """Legacy DETR-style HungarianMatcher (focal class + box L1 + GIoU costs).
+
+    Parity: models/matcher.py:25-101. Present in the reference but
+    unreachable from its CLI (matcher_type choices=['pose'], main.py:108);
+    kept for capability parity. All predictions are candidates (no n_pred).
+    """
+    B, Q = pred_boxes.shape[:2]
+    f32 = jnp.float32
+    alpha, gamma = 0.25, 2.0
+    prob = jax.nn.sigmoid(pred_logits.astype(f32))           # (B, Q, C)
+    # focal-style class cost evaluated at each target's label (matcher.py:82-86)
+    labels = jnp.clip(tgt_labels, 0, pred_logits.shape[-1] - 1)
+    p = jnp.take_along_axis(prob, labels[:, None, :], axis=2)        # (B, Q, Qt)
+    neg = (1 - alpha) * (p ** gamma) * (-jnp.log(1 - p + 1e-8))
+    pos = alpha * ((1 - p) ** gamma) * (-jnp.log(p + 1e-8))
+    cls_cost = pos - neg
+
+    l1 = jnp.sum(jnp.abs(pred_boxes[:, :, None] - tgt_boxes[:, None]), axis=-1)
+    giou = jax.vmap(
+        lambda a, b: generalized_box_iou(box_cxcywh_to_xyxy(a), box_cxcywh_to_xyxy(b))
+    )(jnp.clip(pred_boxes, 0), jnp.clip(tgt_boxes, 0))
+
+    C = cost_bbox * l1 + cost_class * cls_cost - cost_giou * giou
+    col_ids = jnp.arange(Q)[None, None, :]
+    C = jnp.where(col_ids >= n_tgt[:, None, None], BIG_COST, C.astype(f32))
+    tgt_idx = hungarian(C)
+    valid = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(Q)[None], (B, Q)), tgt_idx, axis=1
+    ) < n_tgt[:, None]
     return MatchResult(tgt_idx=tgt_idx, valid=valid)
 
 

@@ -175,3 +175,47 @@ def test_matcher_jits(rng):
     res = fn(jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(tgt_boxes),
              jnp.asarray(tgt_labels), jnp.asarray(n), jnp.asarray(n))
     assert res.tgt_idx.shape == (4, 8)
+
+
+def test_legacy_hungarian_matcher(rng):
+    """DETR-style matcher: focal class + L1 + GIoU vs a scipy oracle."""
+    from poet_tpu.models.matcher import match_hungarian
+
+    B, Q, C = 2, 6, 5
+    logits = rng.normal(size=(B, Q, C)).astype(np.float32)
+    boxes = rng.uniform(0.2, 0.6, size=(B, Q, 4)).astype(np.float32)
+    boxes[..., 2:] = rng.uniform(0.05, 0.3, size=(B, Q, 2))
+    tgt_boxes = rng.uniform(0.2, 0.6, size=(B, Q, 4)).astype(np.float32)
+    tgt_boxes[..., 2:] = rng.uniform(0.05, 0.3, size=(B, Q, 2))
+    labels = rng.integers(0, C, size=(B, Q)).astype(np.int32)
+    n_tgt = np.array([4, 6], dtype=np.int32)
+
+    res = match_hungarian(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(tgt_boxes),
+        jnp.asarray(labels), jnp.asarray(n_tgt),
+    )
+
+    # scipy oracle with the same costs
+    import scipy.special
+
+    for b in range(B):
+        prob = scipy.special.expit(logits[b])
+        p = prob[:, labels[b, : n_tgt[b]]]
+        alpha, gamma = 0.25, 2.0
+        neg = (1 - alpha) * p**gamma * (-np.log(1 - p + 1e-8))
+        pos = alpha * (1 - p) ** gamma * (-np.log(p + 1e-8))
+        cls = pos - neg
+        l1 = np.abs(boxes[b][:, None] - tgt_boxes[b, : n_tgt[b]][None]).sum(-1)
+        from tests.test_matcher import _xyxy, _giou
+
+        g = np.array([[_giou(_xyxy(bb), _xyxy(tb)) for tb in tgt_boxes[b, : n_tgt[b]]]
+                      for bb in boxes[b]])
+        Cm = 1.0 * l1 + 1.0 * cls - 2.0 * g
+        ri, ci = linear_sum_assignment(Cm)
+        expected = set(zip(ri.tolist(), ci.tolist()))
+        got = {
+            (i, int(np.asarray(res.tgt_idx)[b, i]))
+            for i in range(Q)
+            if np.asarray(res.valid)[b, i]
+        }
+        assert got == expected
