@@ -116,6 +116,8 @@ def get_args_parser():
     p.add_argument("--mesh_data", default=-1, type=int,
                    help="devices on the data axis (-1: all)")
     p.add_argument("--dtype", default="float32", type=str)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="write a jax.profiler trace of the first train epoch here")
     return p
 
 
@@ -161,6 +163,8 @@ def args_to_config(args) -> PoETConfig:
               "output_dir", "seed", "resume", "start_epoch", "eval", "eval_bop",
               "mesh_data", "dtype"):
         setattr(r, k, getattr(args, k))
+    m.dtype = args.dtype
+    cfg.profile_dir = getattr(args, "profile_dir", None)
     return cfg
 
 
@@ -225,9 +229,10 @@ def main(cfg: PoETConfig):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print("number of params:", n_params)
 
+    resume_payload = None
     if cfg.runtime.resume:
-        payload, start_epoch = load_checkpoint(cfg.runtime.resume)
-        params, missing, unexpected = merge_params(params, payload["params"])
+        resume_payload, start_epoch = load_checkpoint(cfg.runtime.resume)
+        params, missing, unexpected = merge_params(params, resume_payload["params"])
         if missing:
             print("Missing Keys:", missing)
         if unexpected:
@@ -249,10 +254,27 @@ def main(cfg: PoETConfig):
     tx = make_optimizer(cfg, params, steps_per_epoch)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
+    if resume_payload is not None and "opt_state" in resume_payload:
+        # restore optimizer state + step into the exact pytree structure
+        # (parity: main.py:299-317 — note the reference hack to keep CLI LRs
+        # over checkpointed ones is unnecessary here: our LR lives in the
+        # schedule, rebuilt from the CLI config every run)
+        payload, _ = load_checkpoint(
+            cfg.runtime.resume,
+            template={"params": state.params, "opt_state": state.opt_state,
+                      "step": 0, "epoch": 0},
+        )
+        state = TrainState(params=state.params, opt_state=payload["opt_state"],
+                           step=jnp.asarray(payload["step"], jnp.int32))
     state = replicate(state, mesh)
     step_fn = make_train_step(model, cfg, tx)
 
     print("Start training")
+    # tracing/profiling hook (SURVEY §5: the reference has only wall-clock
+    # prints; here the first epoch can emit a full jax.profiler trace)
+    profile_dir = getattr(cfg, "profile_dir", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     start_time = time.time()
     rng = jax.random.PRNGKey(seed)
     for epoch in range(cfg.runtime.start_epoch, cfg.optim.epochs):
@@ -272,6 +294,9 @@ def main(cfg: PoETConfig):
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         print("Averaged stats:", logger)
+        if profile_dir and epoch == cfg.runtime.start_epoch:
+            jax.profiler.stop_trace()
+            profile_dir = None
 
         if output_dir and is_main:
             for name in checkpoint_paths_for_epoch(str(output_dir), epoch, cfg):

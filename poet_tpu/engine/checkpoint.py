@@ -48,15 +48,19 @@ def checkpoint_paths_for_epoch(output_dir: str, epoch: int, cfg: PoETConfig):
     return names
 
 
-def load_checkpoint(path: str, state=None):
+def load_checkpoint(path: str, template=None):
     """Restore a checkpoint; returns (payload, start_epoch).
 
-    With `state`, restores into matching structure; missing/unexpected keys
-    are reported and tolerated (param trees merged by name).
+    With `template` (a payload-shaped pytree, e.g. from a freshly built
+    TrainState), orbax restores into the exact structure — required for the
+    optimizer state whose pytree contains namedtuples.
     """
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(path)
+    if template is not None:
+        payload = ckptr.restore(path, item=template)
+    else:
+        payload = ckptr.restore(path)
     return payload, int(payload.get("epoch", -1)) + 1
 
 

@@ -1,0 +1,141 @@
+"""Low-latency serving path — the TensorRT-deployment equivalent (N9).
+
+The reference's real-time story is an external TensorRT engine (50 FPS on a
+Jetson AGX Orin, README.md:35) feeding object-relative state estimation
+(EKF) with pose + aleatoric covariance. The TPU-native equivalent:
+
+  * AOT-compiled inference executable (`jax.jit(...).lower().compile()`)
+    for a FIXED batch size / image size — no retracing, no Python in the
+    loop beyond the dispatch,
+  * persistent XLA compilation cache so the engine "builds" once per config
+    (`enable_persistent_cache`),
+  * donated image buffers, single device round-trip per frame,
+  * rolling latency statistics (p50/p95/p99) like a serving stack reports.
+
+Two query sources, matching the reference's deployment modes:
+  * detector mode (bbox_mode='backbone'): images in, detections + poses out,
+  * tracker mode (gt-style): the caller supplies boxes (e.g. from an EKF
+    predictor), PoET refines poses for exactly those boxes.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.config import PoETConfig
+from poet_tpu.models import build_model
+
+
+def enable_persistent_cache(path: str = "/tmp/poet_tpu_xla_cache"):
+    """Persist compiled executables across processes (engine-build-once)."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+class PoseServer:
+    """Fixed-shape, AOT-compiled pose estimation endpoint."""
+
+    def __init__(self, cfg: PoETConfig, params, batch_size: int = 1,
+                 image_size=(480, 640), latency_window: int = 1000):
+        self.cfg = cfg
+        self.params = params
+        self.batch_size = batch_size
+        self.image_size = tuple(image_size)
+        self.model = build_model(cfg)
+        self._latencies = deque(maxlen=latency_window)
+
+        B, (H, W) = batch_size, self.image_size
+        Q = cfg.model.num_queries
+        img_spec = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
+        mask_spec = jax.ShapeDtypeStruct((B, H, W), jnp.bool_)
+
+        if cfg.model.bbox_mode == "backbone":
+            def fwd(params, images, pad_mask):
+                out = self.model.apply(params, images, pad_mask, None,
+                                       deterministic=True)
+                return self._outputs(out)
+
+            self._fn = (
+                jax.jit(fwd, donate_argnums=(1, 2))
+                .lower(params, img_spec, mask_spec)
+                .compile()
+            )
+            self._needs_boxes = False
+        else:
+            tgt_spec = {
+                "boxes": jax.ShapeDtypeStruct((B, Q, 4), jnp.float32),
+                "labels": jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                "n_boxes": jax.ShapeDtypeStruct((B,), jnp.int32),
+            }
+
+            def fwd(params, images, pad_mask, targets):
+                out = self.model.apply(params, images, pad_mask, targets,
+                                       deterministic=True)
+                return self._outputs(out)
+
+            self._fn = (
+                jax.jit(fwd, donate_argnums=(1, 2))
+                .lower(params, img_spec, mask_spec, tgt_spec)
+                .compile()
+            )
+            self._needs_boxes = True
+
+    def _outputs(self, out):
+        res = {
+            "translation": out["translations"][-1],
+            "rotation": out["rotations"][-1],
+            "boxes": out["pred_boxes"],
+            "classes": out["pred_classes"],
+            "n_boxes": out["n_boxes"],
+        }
+        if self.cfg.model.aleatoric:
+            # s = log sigma^2 -> per-axis variances for the EKF consumer
+            res["translation_var"] = jnp.exp(out["translations_aleatoric"][-1])
+            res["rotation_var"] = jnp.exp(out["rotations_aleatoric"][-1])
+        return res
+
+    def infer(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
+              labels: Optional[np.ndarray] = None,
+              n_boxes: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        """One synchronous frame (batch). images (B, H, W, 3) float32 [0,1]."""
+        B, (H, W) = self.batch_size, self.image_size
+        assert images.shape == (B, H, W, 3), images.shape
+        t0 = time.perf_counter()
+        pad_mask = jnp.zeros((B, H, W), jnp.bool_)
+        img = jnp.asarray(images)
+        if self._needs_boxes:
+            Q = self.cfg.model.num_queries
+            assert boxes is not None, "tracker mode needs boxes (cxcywh, normalized)"
+            targets = {
+                "boxes": jnp.asarray(boxes, jnp.float32),
+                "labels": jnp.asarray(
+                    labels if labels is not None else np.ones((B, Q)), jnp.int32),
+                "n_boxes": jnp.asarray(
+                    n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
+            }
+            out = self._fn(self.params, img, pad_mask, targets)
+        else:
+            out = self._fn(self.params, img, pad_mask)
+        host = {k: np.asarray(v) for k, v in out.items()}
+        self._latencies.append(time.perf_counter() - t0)
+        return host
+
+    def latency_stats(self) -> Dict[str, float]:
+        if not self._latencies:
+            return {}
+        arr = np.asarray(self._latencies) * 1e3
+        return {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p95_ms": float(np.percentile(arr, 95)),
+            "p99_ms": float(np.percentile(arr, 99)),
+            "fps": float(self.batch_size / np.mean(arr) * 1e3),
+            "frames": len(arr),
+        }

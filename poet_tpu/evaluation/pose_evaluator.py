@@ -133,6 +133,35 @@ def translation_errors(poses_pred: np.ndarray, poses_gt: np.ndarray) -> np.ndarr
     return np.linalg.norm(poses_pred[:, :, 3] - poses_gt[:, :, 3], axis=-1)
 
 
+def se3_mul(RT1: np.ndarray, RT2: np.ndarray) -> np.ndarray:
+    """Concatenate two (3, 4) [R|t] transforms. Parity: pose_evaluator.py:617-634."""
+    R1, T1 = RT1[:3, :3], RT1[:3, 3:4]
+    R2, T2 = RT2[:3, :3], RT2[:3, 3:4]
+    out = np.zeros((3, 4), dtype=np.float64)
+    out[:3, :3] = R1 @ R2
+    out[:3, 3:4] = R1 @ T2 + T1
+    return out
+
+
+def project_pts(pts: np.ndarray, rot: np.ndarray, t: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """3D points -> 2D pixels. Parity: pose_evaluator.py:649-669."""
+    if K.shape == (9,):
+        K = K.reshape(3, 3)
+    cam = K @ (rot @ pts.T + t.reshape(3, 1))
+    return (cam[:2] / cam[2:3]).T
+
+
+def reprojection_errors(pts: np.ndarray, poses_pred: np.ndarray,
+                        poses_gt: np.ndarray, Ks: np.ndarray) -> np.ndarray:
+    """Mean 2D reprojection error per pose pair. Parity: pose_evaluator.py:671-690."""
+    out = []
+    for pp, pg, K in zip(poses_pred, poses_gt, Ks):
+        a = project_pts(pts, pp[:3, :3], pp[:, 3], np.asarray(K))
+        b = project_pts(pts, pg[:3, :3], pg[:, 3], np.asarray(K))
+        out.append(np.linalg.norm(a - b, axis=1).mean())
+    return np.asarray(out)
+
+
 # ---------------------------------------------------------------------------
 # Evaluator
 # ---------------------------------------------------------------------------

@@ -200,13 +200,15 @@ def ms_deform_attn_mxu(
             i_c, w_c = args                                   # (B, qc, H, P4)
             # (B, qc, H, P4, S_l) one-hot, weighted, summed over slots — XLA
             # fuses the compare/select/reduce into one pass (no materialize).
+            # The select + reduce run in the value dtype: with bf16 values the
+            # whole Wmat construction and its HBM traffic halve.
             wmat = jnp.sum(
-                jnp.where(i_c[..., None] == _iota, w_c[..., None], 0.0), axis=3
+                jnp.where(i_c[..., None] == _iota, w_c[..., None].astype(dtype),
+                          jnp.zeros((), dtype)),
+                axis=3, dtype=dtype,
             )                                                 # (B, qc, H, S_l)
-            # matmul in the VALUE dtype: bf16 halves the Wmat HBM traffic,
-            # which dominates this op's cost at encoder scale.
             return jnp.einsum(
-                "bqhs,bshd->bqhd", wmat.astype(dtype), value_l,
+                "bqhs,bshd->bqhd", wmat, value_l,
                 preferred_element_type=f32,
             )
 

@@ -86,3 +86,15 @@ def quat_inverse(q: jnp.ndarray) -> jnp.ndarray:
     """Inverse of (..., 4) quaternions. Parity: evaluation_tools/metrics.py:43-55."""
     conj = q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
     return conj / jnp.sum(q * q, axis=-1, keepdims=True)
+
+
+def quat_error(q_pred: jnp.ndarray, q_gt: jnp.ndarray) -> jnp.ndarray:
+    """Rotation angle (rad) of q_pred relative to q_gt.
+
+    Parity: evaluation_tools/metrics.py:57-73 — angle of q_err = q_pred *
+    q_gt^-1, computed as 2*atan2(||v||, |w|) for numerical stability.
+    """
+    q_err = quat_mult(q_pred, quat_inverse(q_gt))
+    v = jnp.linalg.norm(q_err[..., 1:], axis=-1)
+    w = jnp.abs(q_err[..., 0])
+    return 2.0 * jnp.arctan2(v, w)

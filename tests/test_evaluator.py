@@ -173,3 +173,31 @@ def test_ply_binary(tmp_path, rng):
             f.write(struct.pack("<fff", *q))
     out = load_ply(str(p))
     np.testing.assert_allclose(out["pts"], pts, rtol=1e-6)
+
+
+def test_reprojection_error(rng):
+    from poet_tpu.evaluation.pose_evaluator import project_pts, reprojection_errors, se3_mul
+
+    pts = _pts(rng, 50)
+    pose = _random_poses(rng, 1)[0]
+    K = np.array([500.0, 0, 320, 0, 500, 240, 0, 0, 1])
+    # identical poses -> zero error
+    err = reprojection_errors(pts, pose[None], pose[None], K[None])
+    np.testing.assert_allclose(err, 0.0, atol=1e-9)
+    # shifted along camera x by dz*z... simple: shift x by 0.01 at z~1 -> ~5 px
+    off = pose.copy()
+    off[0, 3] += 0.01
+    err = reprojection_errors(pts, off[None], pose[None], K[None])
+    assert 2.0 < err[0] < 10.0
+    # se3_mul identity
+    eye = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    np.testing.assert_allclose(se3_mul(eye, pose), pose, atol=1e-12)
+
+
+def test_quat_error():
+    import jax.numpy as jnp
+    from poet_tpu.utils.quaternions import quat_error
+
+    q1 = jnp.asarray([[np.cos(0.25), np.sin(0.25), 0, 0]])  # 0.5 rad about x
+    q2 = jnp.asarray([[1.0, 0, 0, 0]])
+    np.testing.assert_allclose(np.asarray(quat_error(q1, q2)), 0.5, atol=1e-5)

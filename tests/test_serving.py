@@ -1,0 +1,49 @@
+"""AOT serving path: compile once, fixed shapes, latency stats."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from poet_tpu.engine.serving import PoseServer
+from tests.test_model import make_batch, tiny_config
+
+
+def test_tracker_mode_server(rng):
+    cfg = tiny_config()
+    from poet_tpu.models import build_model
+
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=2, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+
+    server = PoseServer(cfg, params, batch_size=2, image_size=(64, 64))
+    out = server.infer(
+        np.asarray(images), boxes=np.asarray(targets["boxes"]),
+        labels=np.asarray(targets["labels"]), n_boxes=np.asarray(targets["n_boxes"]),
+    )
+    assert out["translation"].shape == (2, 5, 3)
+    assert out["rotation"].shape == (2, 5, 3, 3)
+    assert np.isfinite(out["translation"]).all()
+    # second frame reuses the compiled executable
+    out2 = server.infer(
+        np.asarray(images) * 0.5, boxes=np.asarray(targets["boxes"]),
+        labels=np.asarray(targets["labels"]), n_boxes=np.asarray(targets["n_boxes"]),
+    )
+    stats = server.latency_stats()
+    assert stats["frames"] == 2 and stats["p50_ms"] > 0
+
+
+def test_detector_mode_server_aleatoric(rng):
+    cfg = tiny_config(bbox_mode="backbone", aleatoric=True)
+    cfg.backbone.max_detections = 8
+    from poet_tpu.models import build_model
+
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=1, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images[:1], pad_mask[:1], targets)
+
+    server = PoseServer(cfg, params, batch_size=1, image_size=(64, 64))
+    out = server.infer(np.asarray(images[:1]))
+    assert out["translation"].shape == (1, 5, 3)
+    assert "translation_var" in out and (out["translation_var"] > 0).all()

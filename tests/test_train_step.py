@@ -120,3 +120,40 @@ def test_lr_schedule():
     assert sched(19) == pytest.approx(2e-4)
     assert sched(20) == pytest.approx(2e-5)
     assert sched(45) == pytest.approx(2e-6)
+
+
+def test_calibrate_only_updates_aleatoric(setup):
+    """Calibrate mode: aleatoric heads train, everything else frozen
+    (main.py:337-347)."""
+    cfg, model, (images, pad_mask, targets) = setup
+    cfg2 = PoETConfig.from_dict(cfg.to_dict())
+    cfg2.model.aleatoric = True
+    cfg2.model.calibrate = True
+    cfg2.optim.lr = 1e-3
+    from poet_tpu.models import build_model
+
+    model2 = build_model(cfg2)
+    params = model2.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg2, params, steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model2, cfg2, tx, donate=False)
+    st, metrics = step_fn(state, images, pad_mask, targets, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    before = jax.tree_util.tree_leaves_with_path(params)
+    after_tree = st.params
+    changed, frozen_moved = [], []
+    for path, b in before:
+        name = jax.tree_util.keystr(path)
+        a = after_tree
+        for k in [p.key for p in path]:
+            a = a[k]
+        moved = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()) > 0
+        if "aleatoric" in name:
+            if moved:
+                changed.append(name)
+        elif moved:
+            frozen_moved.append(name)
+    assert changed, "aleatoric heads did not update"
+    assert not frozen_moved, frozen_moved[:5]
