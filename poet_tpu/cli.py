@@ -217,8 +217,7 @@ def main(cfg: PoETConfig):
         )
 
     if cfg.runtime.inference:
-        params = _restore_params(model, cfg)
-        return inference(model, params, cfg)
+        return inference(model, None, cfg)
 
     loader_val = make_loader(cfg.data.eval_set, cfg.optim.eval_batch_size, False)
 
@@ -316,14 +315,6 @@ def main(cfg: PoETConfig):
     print("Training time", str(datetime.timedelta(seconds=int(total))))
     print("Evaluate final trained model")
     pose_evaluate(model, state.params, evaluator, loader_val, cfg, cfg.data.eval_set)
-
-
-def _restore_params(model, cfg: PoETConfig):
-    from poet_tpu.engine.checkpoint import load_checkpoint
-
-    assert cfg.runtime.resume, "inference requires --resume checkpoint"
-    payload, _ = load_checkpoint(cfg.runtime.resume)
-    return payload["params"]
 
 
 def run():

@@ -34,15 +34,40 @@ def list_inference_images(path: str):
 
 
 def inference(model, params, cfg: PoETConfig):
-    """Run PoET on an unannotated image dir; write results.json."""
+    """Run PoET on an unannotated image dir; write results.json.
+
+    params may be None: the model is then initialized from the first image
+    and the resume checkpoint merged strict=False (parity with the
+    reference's strict=False load at inference_engine.py:35-37 — e.g. a
+    gt-mode-trained checkpoint has no detector weights; those stay at init
+    unless --backbone_weights provides them).
+    """
     assert cfg.runtime.inference_path, "--inference_path required"
     assert cfg.model.bbox_mode == "backbone", (
         "inference uses detector-predicted boxes (reference forces "
         "bbox_mode='backbone', main.py:407)"
     )
     files = list_inference_images(cfg.runtime.inference_path)
+    assert files, f"no images in {cfg.runtime.inference_path}"
     out_dir = cfg.runtime.inference_output or cfg.runtime.output_dir
     os.makedirs(out_dir, exist_ok=True)
+
+    if params is None:
+        from poet_tpu.engine.checkpoint import load_checkpoint, merge_params
+
+        img0 = Image.open(os.path.join(cfg.runtime.inference_path, files[0])).convert("RGB")
+        arr0 = np.asarray(img0, dtype=np.float32)[None] / 255.0
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(cfg.runtime.seed), jnp.asarray(arr0),
+            jnp.zeros(arr0.shape[:3], bool), None,
+        )
+        if cfg.runtime.resume:
+            payload, _ = load_checkpoint(cfg.runtime.resume)
+            params, missing, unexpected = merge_params(params, payload["params"])
+            if missing:
+                print("Missing Keys:", missing)
+            if unexpected:
+                print("Unexpected Keys:", unexpected)
 
     fwd = jax.jit(lambda p, i, m: model.apply(p, i, m, None, deterministic=True))
 
