@@ -186,6 +186,11 @@ def main(cfg: PoETConfig):
     from poet_tpu.models import build_model
     from poet_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 
+    # multi-host rendezvous (replaces launch_distributed.py + NCCL env://):
+    # the TPU runtime provides one process per host; initialize() wires them.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     # seed (main.py:198-202; per-process offset)
     seed = cfg.runtime.seed + jax.process_index()
     np.random.seed(seed)

@@ -33,10 +33,20 @@ def build_model(cfg: PoETConfig) -> PoET:
     get the full RPN + RoI-heads detector.
     """
     if cfg.backbone.name in ("maskrcnn", "fasterrcnn"):
+        # optional rcnn YAML (parity: configs/*_rcnn.yaml read at
+        # backbone_maskrcnn.py:132-134): label map -> detector class count
+        det_classes = cfg.model.n_classes + 1
+        if cfg.backbone.cfg_path and cfg.backbone.cfg_path.endswith((".yaml", ".yml")):
+            import yaml
+
+            with open(cfg.backbone.cfg_path) as f:
+                rcnn_cfg = yaml.safe_load(f)
+            det_classes = len(rcnn_cfg.get("label_to_category_id", {})) or det_classes
+            assert rcnn_cfg.get("backbone_str", "resnet50-fpn") == "resnet50-fpn"
         if cfg.model.bbox_mode == "backbone" or cfg.runtime.inference:
             obj_map = LMO_OBJ_ID_MAP if cfg.data.dataset == "lmo" else None
             backbone = MaskRCNNDetectorBackbone(
-                num_classes=cfg.model.n_classes + 1,
+                num_classes=det_classes,
                 max_detections=cfg.backbone.max_detections,
                 obj_id_map=obj_map,
             )
