@@ -171,8 +171,7 @@ def args_to_config(args) -> PoETConfig:
 def main(cfg: PoETConfig):
     import jax
     import jax.numpy as jnp
-    import optax
-
+    
     from poet_tpu.data.dataset import build_dataset
     from poet_tpu.data.loader import PoseDataLoader
     from poet_tpu.engine.checkpoint import (

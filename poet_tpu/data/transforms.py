@@ -11,10 +11,8 @@ global `random` module, so the pipeline is seedable per (epoch, index).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
-
 import numpy as np
-from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+from PIL import ImageEnhance, ImageFilter, ImageOps
 
 
 class Compose:

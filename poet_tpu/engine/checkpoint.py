@@ -14,9 +14,8 @@ Parity target: main.py:285-317,357-369 —
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np

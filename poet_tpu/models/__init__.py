@@ -3,10 +3,6 @@ models/pose_estimation_transformer.py:692-739."""
 
 from __future__ import annotations
 
-from typing import Tuple
-
-from flax import linen as nn
-
 from poet_tpu.config import PoETConfig
 from poet_tpu.models.backbone import (
     MaskRCNNDetectorBackbone,

@@ -21,7 +21,7 @@ Loss formulas are bit-parity with the reference:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -24,11 +24,10 @@ tanh/softplus chain into surrounding ops on TPU.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from poet_tpu.models.resnet_fpn import FrozenBatchNorm, downsample_mask

@@ -32,8 +32,6 @@ Design:
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -11,7 +11,7 @@ Oracles: torchvision.ops.nms / roi_align semantics (tested on CPU torch).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

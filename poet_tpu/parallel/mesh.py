@@ -16,7 +16,7 @@ mesh then spans every process's devices and per-host input sharding follows
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

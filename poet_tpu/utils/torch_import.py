@@ -20,8 +20,7 @@ call `state_dict_to_numpy`).
 
 from __future__ import annotations
 
-import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
