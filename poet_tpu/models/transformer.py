@@ -247,6 +247,11 @@ class DeformableTransformer(nn.Module):
     dec_n_points: int = 4
     enc_n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize layers in the backward pass. Without this, the backward
+    # residuals of the one-hot sampling (a (B, Q, H, 16, S_l) select
+    # predicate PER LAYER) blow HBM: a bs=16 training step was measured
+    # needing 64 GB. With remat the layer recomputes its forward instead.
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -280,10 +285,13 @@ class DeformableTransformer(nn.Module):
         valid_ratios = compute_valid_ratios(masks)
 
         # ---- encoder
+        enc_layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4, 6)) if self.remat else EncoderLayer
+        )
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios, src_flat.dtype)
         out = src_flat
         for i in range(self.num_encoder_layers):
-            out = EncoderLayer(
+            out = enc_layer_cls(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
                 self.enc_n_points, self.dropout, self.dtype, name=f"encoder_layer_{i}",
             )(out, pos_flat, enc_ref, spatial_shapes, mask_flat, deterministic)
@@ -304,12 +312,15 @@ class DeformableTransformer(nn.Module):
         init_reference = ref
 
         # ---- decoder with stacked intermediates
+        dec_layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(5, 7)) if self.remat else DecoderLayer
+        )
         intermediates = []
         output = tgt
         for i in range(self.num_decoder_layers):
             # (B, Q, L, 2): scale reference by per-level valid ratios
             ref_input = ref[:, :, None, :] * valid_ratios[:, None, :, :]
-            output = DecoderLayer(
+            output = dec_layer_cls(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
                 self.dec_n_points, self.dropout, self.dtype, name=f"decoder_layer_{i}",
             )(output, qe, ref_input, memory, spatial_shapes, mask_flat, deterministic)

@@ -1,0 +1,86 @@
+"""Full CLI integration: train -> checkpoint -> eval/BOP/inference/resume.
+
+Drives `poet_tpu.cli.main` on a generated PoET-format dataset through the
+public flag surface — the same path a reference user takes.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_synthetic_dataset
+
+
+def _run_cli(argv):
+    from poet_tpu.cli import args_to_config, get_args_parser, main
+    import argparse
+
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
+    args = parser.parse_args(argv)
+    cfg = args_to_config(args)
+    if cfg.runtime.inference:
+        cfg.model.bbox_mode = "backbone"
+    return main(cfg)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    data = make_synthetic_dataset(str(tmp_path_factory.mktemp("data")))
+    out = str(tmp_path_factory.mktemp("out"))
+    return data, out
+
+
+BASE = ["--n_classes", "3", "--batch_size", "4", "--eval_batch_size", "4",
+        "--enc_layers", "1", "--dec_layers", "1", "--hidden_dim", "32",
+        "--nheads", "2", "--dim_feedforward", "64", "--num_queries", "4",
+        "--num_workers", "2", "--dropout", "0.0", "--num_feature_levels", "4"]
+
+
+def test_cli_train_then_eval_then_bop(workspace):
+    data, out = workspace
+    _run_cli(["--dataset_path", data, "--output_dir", out, "--epochs", "1",
+              "--eval_interval", "5", "--save_interval", "50"] + BASE)
+    assert os.path.isdir(os.path.join(out, "checkpoint"))
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    # final eval wrote the metric tree
+    eval_dir = os.path.join(out, "eval_test_gt")
+    for metric in ("add", "adi", "adds", "avg_t_error", "avg_rot_error"):
+        assert os.path.isdir(os.path.join(eval_dir, metric)), metric
+    adds = json.load(open(os.path.join(eval_dir, "adds", "adds.json")))
+    assert "accuracy" in adds
+
+    # resume continues at epoch 1
+    _run_cli(["--dataset_path", data, "--output_dir", out, "--epochs", "2",
+              "--eval_interval", "5", "--save_interval", "50",
+              "--resume", os.path.join(out, "checkpoint")] + BASE)
+    log_lines = open(os.path.join(out, "log.txt")).read().strip().splitlines()
+    epochs = [json.loads(l)["epoch"] for l in log_lines]
+    assert 1 in epochs
+
+    # BOP export
+    _run_cli(["--dataset_path", data, "--output_dir", out, "--eval_bop",
+              "--resume", os.path.join(out, "checkpoint")] + BASE)
+    csv_path = os.path.join(out, "bop_gt", "ycbv.csv")
+    lines = open(csv_path).read().splitlines()
+    assert lines[0] == "scene_id,im_id,obj_id,score,R,t,time"
+    assert len(lines) > 1
+    row = lines[1].split(",")
+    assert len(row) == 7 and len(row[4].split()) == 9  # R is 9 numbers
+
+
+def test_cli_inference(workspace):
+    data, out = workspace
+    infer_out = os.path.join(out, "infer")
+    _run_cli(["--dataset_path", data, "--output_dir", out, "--inference",
+              "--inference_path", os.path.join(data, "test_all/000001/rgb"),
+              "--inference_output", infer_out, "--backbone_conf_thresh", "0.2",
+              "--resume", os.path.join(out, "checkpoint")] + BASE)
+    results = json.load(open(os.path.join(infer_out, "results.json")))
+    assert len(results) == 4  # test images
+    for dets in results.values():
+        for d in dets.values():
+            assert set(d) == {"t", "rot", "box", "class"}
+            assert np.asarray(d["rot"]).shape == (3, 3)
