@@ -74,6 +74,10 @@ class ModelConfig:
     n_classes: int = 21
     # transformer compute dtype; params stay f32 (mixed precision)
     dtype: str = "float32"
+    # encoder deformable-sampling core: 'sep' (separable one-hot matmuls,
+    # fastest measured: 6 ms/layer vs 19 ms 'mxu' at bs=16) | 'mxu' | 'patch'
+    # | 'gather' | 'pallas'
+    enc_deform_impl: str = "sep"
 
     @property
     def rot_dim(self) -> int:

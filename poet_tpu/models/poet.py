@@ -146,6 +146,7 @@ class PoET(nn.Module):
             dec_n_points=cfg.dec_n_points,
             enc_n_points=cfg.enc_n_points,
             dtype=compute_dtype,
+            enc_impl=cfg.enc_deform_impl,
             name="transformer",
         )(srcs, masks, pos, query_embeds, reference_points, deterministic)
         # hs: (n_dec_layers, B, Q, C)

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from poet_tpu.ops.deform_attn import ms_deform_attn_mxu, ms_deform_attn_xla
+from poet_tpu.ops.deform_attn import (
+    ms_deform_attn_mxu,
+    ms_deform_attn_patch,
+    ms_deform_attn_sep,
+    ms_deform_attn_xla,
+)
 from poet_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
 
 
@@ -110,7 +115,12 @@ class MSDeformAttn(nn.Module):
         if self.impl == "pallas":
             out = ms_deform_attn_pallas(value, tuple(spatial_shapes), locations, attn)
         else:
-            core = ms_deform_attn_mxu if self.impl == "mxu" else ms_deform_attn_xla
+            core = {
+                "mxu": ms_deform_attn_mxu,
+                "patch": ms_deform_attn_patch,
+                "sep": ms_deform_attn_sep,
+                "gather": ms_deform_attn_xla,
+            }[self.impl]
             out = core(value, tuple(spatial_shapes), locations, attn)
         return nn.Dense(self.d_model, name="output_proj", dtype=self.dtype)(out)
 
@@ -125,12 +135,13 @@ class EncoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    impl: str = "mxu"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, deterministic):
         q = src + pos
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
-                            dtype=self.dtype,
+                            impl=self.impl, dtype=self.dtype,
                             name="self_attn")(q, reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         src = nn.LayerNorm(name="norm1")(src)
@@ -156,6 +167,7 @@ class DecoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    impl: str = "mxu"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -176,7 +188,7 @@ class DecoderLayer(nn.Module):
 
         # cross attention
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
-                            dtype=self.dtype,
+                            impl=self.impl, dtype=self.dtype,
                             name="cross_attn")(tgt + query_pos, reference_points, src,
                                                spatial_shapes, src_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
@@ -247,6 +259,11 @@ class DeformableTransformer(nn.Module):
     dec_n_points: int = 4
     enc_n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    # Sampling-core implementation for the ENCODER's deformable self-attention
+    # (the hot path, Q = S tokens): 'mxu' | 'patch' | 'gather' | 'pallas'.
+    # The decoder cross-attention always uses 'mxu' — at Q = num_queries (~10)
+    # its one-hot construction is trivially cheap and measured fastest.
+    enc_impl: str = "mxu"
     # Rematerialize layers in the backward pass. Without this, the backward
     # residuals of the one-hot sampling (a (B, Q, H, 16, S_l) select
     # predicate PER LAYER) blow HBM: a bs=16 training step was measured
@@ -293,7 +310,8 @@ class DeformableTransformer(nn.Module):
         for i in range(self.num_encoder_layers):
             out = enc_layer_cls(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
-                self.enc_n_points, self.dropout, self.dtype, name=f"encoder_layer_{i}",
+                self.enc_n_points, self.dropout, self.dtype, self.enc_impl,
+                name=f"encoder_layer_{i}",
             )(out, pos_flat, enc_ref, spatial_shapes, mask_flat, deterministic)
         memory = out
 

@@ -128,3 +128,102 @@ class TestMXUFormulation:
         gb = jax.grad(loss_b, argnums=(0, 1, 2))(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
         for a, b in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestPatchFormulation:
+    """ms_deform_attn_patch (2x2-patch lax.gather) must match exactly too."""
+
+    def test_matches_grid_sample(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_patch
+
+        value, shapes, locs, w = _make_inputs(rng)
+        ours = np.asarray(ms_deform_attn_patch(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        ref = torch_ms_deform_attn(
+            torch.from_numpy(value), shapes, torch.from_numpy(locs), torch.from_numpy(w)
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_far_out_of_bounds(self, rng):
+        """Locations far outside the map exercise the patch-clamp masking."""
+        from poet_tpu.ops.deform_attn import ms_deform_attn_patch
+
+        value, shapes, locs, w = _make_inputs(rng)
+        locs = (locs - 0.5) * 8.0 + 0.5  # spread to roughly [-3.5, 4.5]
+        a = np.asarray(ms_deform_attn_xla(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(ms_deform_attn_patch(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_gradients_match(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_patch
+
+        value, shapes, locs, w = _make_inputs(rng, B=1, Q=5, H=2, D=4,
+                                              shapes=((5, 7), (3, 4)))
+
+        def loss_a(v, l, aw):
+            return jnp.sum(ms_deform_attn_xla(v, shapes, l, aw) ** 2)
+
+        def loss_b(v, l, aw):
+            return jnp.sum(ms_deform_attn_patch(v, shapes, l, aw) ** 2)
+
+        ga = jax.grad(loss_a, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        gb = jax.grad(loss_b, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_jit_compiles(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_patch
+
+        value, shapes, locs, w = _make_inputs(rng)
+        fn = jax.jit(lambda v, l, aw: ms_deform_attn_patch(v, shapes, l, aw))
+        out = fn(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        assert out.shape == (2, 6, 4 * 8)
+
+
+class TestSepFormulation:
+    """ms_deform_attn_sep (separable one-hot matmuls) must match exactly."""
+
+    def test_matches_grid_sample(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_sep
+
+        value, shapes, locs, w = _make_inputs(rng)
+        ours = np.asarray(ms_deform_attn_sep(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        ref = torch_ms_deform_attn(
+            torch.from_numpy(value), shapes, torch.from_numpy(locs), torch.from_numpy(w)
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_far_out_of_bounds_chunked(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_sep
+
+        value, shapes, locs, w = _make_inputs(rng, Q=37)
+        locs = (locs - 0.5) * 8.0 + 0.5
+        a = np.asarray(ms_deform_attn_xla(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(ms_deform_attn_sep(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w), q_chunk=16))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_gradients_match(self, rng):
+        from poet_tpu.ops.deform_attn import ms_deform_attn_sep
+
+        value, shapes, locs, w = _make_inputs(rng, B=1, Q=5, H=2, D=4,
+                                              shapes=((5, 7), (3, 4)))
+
+        def loss_a(v, l, aw):
+            return jnp.sum(ms_deform_attn_xla(v, shapes, l, aw) ** 2)
+
+        def loss_b(v, l, aw):
+            return jnp.sum(ms_deform_attn_sep(v, shapes, l, aw) ** 2)
+
+        ga = jax.grad(loss_a, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        gb = jax.grad(loss_b, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
