@@ -36,6 +36,9 @@ def get_args_parser():
     p.add_argument("--weight_decay", default=1e-4, type=float)
     p.add_argument("--epochs", default=50, type=int)
     p.add_argument("--lr_drop", default=100, type=int)
+    # parsed-but-unused in the reference too (main.py:48 — StepLR only ever
+    # reads --lr_drop); accepted here for flag compatibility
+    p.add_argument("--lr_drop_epochs", default=None, type=int, nargs="+")
     p.add_argument("--clip_max_norm", default=0.1, type=float)
     # Backbone (main.py:52-71)
     p.add_argument("--backbone", default="maskrcnn", type=str,
@@ -49,6 +52,9 @@ def get_args_parser():
                    choices=("sine", "learned"))
     p.add_argument("--position_embedding_scale", default=2 * math.pi, type=float)
     p.add_argument("--num_feature_levels", default=4, type=int)
+    # parsed-but-unused in the reference too (main.py:65-66 — no consumer on
+    # the maskrcnn path); accepted for flag compatibility
+    p.add_argument("--dilation", action="store_true")
     # PoET (main.py:73-83)
     p.add_argument("--bbox_mode", default="gt", type=str,
                    choices=("gt", "backbone", "jitter"))
@@ -232,6 +238,18 @@ def main(cfg: PoETConfig):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print("number of params:", n_params)
 
+    # detector checkpoint (parity: build-time load, backbone_maskrcnn.py:138-149)
+    if cfg.backbone.weights:
+        from poet_tpu.utils.torch_import import load_backbone_weights
+
+        params, bb_missing, bb_unexpected = load_backbone_weights(
+            params, cfg.backbone.weights)
+        print(f"Loaded backbone weights from {cfg.backbone.weights}")
+        if bb_missing:
+            print("Backbone missing keys:", bb_missing)
+        if bb_unexpected:
+            print("Backbone unexpected keys:", bb_unexpected)
+
     resume_payload = None
     if cfg.runtime.resume:
         resume_payload, start_epoch = load_checkpoint(cfg.runtime.resume)
@@ -270,7 +288,7 @@ def main(cfg: PoETConfig):
         state = TrainState(params=state.params, opt_state=payload["opt_state"],
                            step=jnp.asarray(payload["step"], jnp.int32))
     state = replicate(state, mesh)
-    step_fn = make_train_step(model, cfg, tx)
+    step_fn = make_train_step(model, cfg, tx, donate=cfg.runtime.donate_step)
 
     print("Start training")
     # tracing/profiling hook (SURVEY §5: the reference has only wall-clock
@@ -280,6 +298,9 @@ def main(cfg: PoETConfig):
         jax.profiler.start_trace(profile_dir)
     start_time = time.time()
     rng = jax.random.PRNGKey(seed)
+    from poet_tpu.engine.train import make_lr_schedule
+
+    lr_schedule = make_lr_schedule(cfg.optim.lr, cfg.optim.lr_drop, steps_per_epoch)
     for epoch in range(cfg.runtime.start_epoch, cfg.optim.epochs):
         logger = MetricLogger()
         logger.add_meter("lr", SmoothedValue(1, "{value:.6f}"))
@@ -294,6 +315,8 @@ def main(cfg: PoETConfig):
                 print(f"Loss is {loss}, stopping training")
                 print({k: float(v) for k, v in metrics.items()})
                 raise SystemExit(1)
+            # live lr (reference logs it per epoch, engine.py:47-48,85)
+            logger.update(lr=float(lr_schedule(int(state.step) - 1)))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         print("Averaged stats:", logger)

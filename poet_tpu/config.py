@@ -28,7 +28,6 @@ class OptimConfig:
     weight_decay: float = 1e-4
     epochs: int = 50
     lr_drop: int = 100              # StepLR-equivalent drop interval (epochs)
-    lr_drop_epochs: Optional[Tuple[int, ...]] = None
     clip_max_norm: float = 0.1
     sgd: bool = False               # main.py:160 — SGD(momentum=0.9) instead of AdamW
 
@@ -42,12 +41,17 @@ class BackboneConfig:
     conf_thresh: float = 0.4
     iou_thresh: float = 0.5
     agnostic_nms: bool = False
-    dilation: bool = False
     position_embedding: str = "sine"     # {sine, learned}
     position_embedding_scale: float = 2 * math.pi
     # static-shape detector caps (TPU: NMS/top-k must have fixed sizes)
     max_detections: int = 100
     input_size: Tuple[int, int] = (480, 640)   # (H, W), constant per config
+    # rcnn YAML `anchor_sizes` (per FPN level); None -> torchvision defaults.
+    # `input_resize` is recorded for parity but has no runtime effect: the
+    # reference's forward never applies the GeneralizedRCNNTransform it
+    # configures (backbone_maskrcnn.py:34-35 vs :59-125).
+    anchor_sizes: Optional[Tuple[Tuple[int, ...], ...]] = None
+    input_resize: Optional[Tuple[int, int]] = None
 
 
 @dataclass
@@ -90,6 +94,8 @@ class MatcherConfig:
     matcher_type: str = "pose"
     set_cost_class: float = 1.0
     set_cost_bbox: float = 1.0
+    # reaches only the legacy HungarianMatcher, which is CLI-unreachable in
+    # the reference too (choices=['pose'], main.py:108)
     set_cost_giou: float = 2.0
     giou_thresh: float = 0.5        # backbone-mode post filter (matcher.py:128)
 
@@ -142,7 +148,7 @@ class RuntimeConfig:
     # data axis == data parallelism across all local + remote devices.
     mesh_data: int = -1             # -1: use all devices
     dtype: str = "float32"          # compute dtype for the transformer
-    donate_step: bool = True
+    donate_step: bool = True        # donate TrainState buffers to the jitted step
 
 
 @dataclass

@@ -59,6 +59,12 @@ def inference(model, params, cfg: PoETConfig):
             jax.random.PRNGKey(cfg.runtime.seed), jnp.asarray(arr0),
             jnp.zeros(arr0.shape[:3], bool), None,
         )
+        if cfg.backbone.weights:
+            from poet_tpu.utils.torch_import import load_backbone_weights
+
+            params, bb_missing, _ = load_backbone_weights(params, cfg.backbone.weights)
+            if bb_missing:
+                print("Backbone missing keys:", bb_missing)
         if cfg.runtime.resume:
             payload, _ = load_checkpoint(cfg.runtime.resume)
             params, missing, unexpected = merge_params(params, payload["params"])

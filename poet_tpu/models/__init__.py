@@ -30,7 +30,10 @@ def build_model(cfg: PoETConfig) -> PoET:
     """
     if cfg.backbone.name in ("maskrcnn", "fasterrcnn"):
         # optional rcnn YAML (parity: configs/*_rcnn.yaml read at
-        # backbone_maskrcnn.py:132-134): label map -> detector class count
+        # backbone_maskrcnn.py:129-150): label map -> detector class count,
+        # anchor_sizes -> AnchorGenerator, input_resize recorded (the
+        # reference's forward never applies the resize transform it
+        # configures, so it has no runtime effect; see BackboneConfig).
         det_classes = cfg.model.n_classes + 1
         if cfg.backbone.cfg_path and cfg.backbone.cfg_path.endswith((".yaml", ".yml")):
             import yaml
@@ -39,12 +42,19 @@ def build_model(cfg: PoETConfig) -> PoET:
                 rcnn_cfg = yaml.safe_load(f)
             det_classes = len(rcnn_cfg.get("label_to_category_id", {})) or det_classes
             assert rcnn_cfg.get("backbone_str", "resnet50-fpn") == "resnet50-fpn"
+            if rcnn_cfg.get("anchor_sizes"):
+                cfg.backbone.anchor_sizes = tuple(
+                    tuple(int(x) for x in lvl) for lvl in rcnn_cfg["anchor_sizes"]
+                )
+            if rcnn_cfg.get("input_resize"):
+                cfg.backbone.input_resize = tuple(rcnn_cfg["input_resize"])
         if cfg.model.bbox_mode == "backbone" or cfg.runtime.inference:
             obj_map = LMO_OBJ_ID_MAP if cfg.data.dataset == "lmo" else None
             backbone = MaskRCNNDetectorBackbone(
                 num_classes=det_classes,
                 max_detections=cfg.backbone.max_detections,
                 obj_id_map=obj_map,
+                anchor_sizes=cfg.backbone.anchor_sizes,
             )
         else:
             backbone = MaskRCNNFeatureBackbone()

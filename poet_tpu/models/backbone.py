@@ -34,6 +34,8 @@ class MaskRCNNDetectorBackbone(nn.Module):
     obj_id_map: Optional[Tuple[Tuple[int, int], ...]] = None  # ((raw, new), ...)
     return_layers: Tuple[str, ...] = ("2", "3", "pool")
     train_backbone: bool = False
+    # per-FPN-level anchor sizes from the rcnn YAML; None -> torchvision defaults
+    anchor_sizes: Optional[Tuple[Tuple[int, ...], ...]] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
@@ -42,10 +44,14 @@ class MaskRCNNDetectorBackbone(nn.Module):
         feats = ResNetFPN(name="fpn_body")(images)
         if not self.train_backbone:
             feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
+        det_kwargs = {}
+        if self.anchor_sizes is not None:
+            det_kwargs["anchor_sizes"] = self.anchor_sizes
         dets = MaskRCNNDetector(
             num_classes=self.num_classes,
             max_detections=self.max_detections,
             name="detector",
+            **det_kwargs,
         )(feats, images.shape[1:3])
 
         if self.obj_id_map is not None:

@@ -46,9 +46,11 @@ BBOX_XFORM_CLIP = math.log(1000.0 / 16)
 def generate_anchors(grid_sizes, strides, sizes=ANCHOR_SIZES, ratios=ASPECT_RATIOS):
     """Per-level anchor grids (numpy, static). torchvision AnchorGenerator:
     h = s*sqrt(r), w = s/sqrt(r), rounded base anchors centered at 0, shifted
-    by stride * (x, y)."""
+    by stride * (x, y). `strides` entries may be scalars or (sy, sx) pairs
+    (torchvision computes them per axis: image_size // grid_size)."""
     all_anchors = []
     for (gh, gw), stride, size in zip(grid_sizes, strides, sizes):
+        sy_stride, sx_stride = stride if isinstance(stride, (tuple, list)) else (stride, stride)
         s = np.asarray(size, dtype=np.float32)
         r = np.asarray(ratios, dtype=np.float32)
         h_r = np.sqrt(r)
@@ -57,8 +59,8 @@ def generate_anchors(grid_sizes, strides, sizes=ANCHOR_SIZES, ratios=ASPECT_RATI
         hs = (h_r[:, None] * s[None, :]).reshape(-1)
         base = np.stack([-ws, -hs, ws, hs], axis=1) / 2.0
         base = np.round(base)
-        sx = np.arange(gw, dtype=np.float32) * stride
-        sy = np.arange(gh, dtype=np.float32) * stride
+        sx = np.arange(gw, dtype=np.float32) * sx_stride
+        sy = np.arange(gh, dtype=np.float32) * sy_stride
         yy, xx = np.meshgrid(sy, sx, indexing="ij")
         shifts = np.stack([xx, yy, xx, yy], axis=-1).reshape(-1, 1, 4)
         anchors = (shifts + base[None]).reshape(-1, 4)
@@ -146,6 +148,9 @@ class MaskRCNNDetector(nn.Module):
     score_thresh: float = BOX_SCORE_THRESH
     nms_thresh: float = BOX_NMS_THRESH
     post_nms_top_n: int = POST_NMS_TOP_N
+    # anchor sizes per FPN level, from the rcnn YAML `anchor_sizes` key
+    # (parity: backbone_maskrcnn.py:26-33 builds the AnchorGenerator from it)
+    anchor_sizes: Tuple[Tuple[int, ...], ...] = ANCHOR_SIZES
 
     @nn.compact
     def __call__(self, fpn_feats: Dict[str, jnp.ndarray], image_size: Tuple[int, int]):
@@ -153,18 +158,25 @@ class MaskRCNNDetector(nn.Module):
         feats = [fpn_feats[k] for k in levels]
         B = feats[0].shape[0]
         grid_sizes = [f.shape[1:3] for f in feats]
-        strides = [image_size[0] // g[0] for g in grid_sizes]
+        # torchvision computes strides per axis: image_size // grid_size
+        strides = [(image_size[0] // g[0], image_size[1] // g[1]) for g in grid_sizes]
+        n_anchors = len(self.anchor_sizes[0]) * len(ASPECT_RATIOS)
 
-        logits, deltas = RPNHead(len(ASPECT_RATIOS), name="rpn_head")(feats)
-        anchors = [jnp.asarray(a) for a in generate_anchors(grid_sizes, strides)]
+        logits, deltas = RPNHead(n_anchors, name="rpn_head")(feats)
+        anchors = [
+            jnp.asarray(a)
+            for a in generate_anchors(grid_sizes, strides, sizes=self.anchor_sizes)
+        ]
 
-        # ---- proposals per image (torchvision filter_proposals semantics)
-        def proposals_one(args):
-            lg, dl = args  # lists indexed by level, single image
+        # ---- proposals, vmapped over the batch (ONE traced program instance;
+        # the reference drives torchvision's batched filter_proposals,
+        # backbone_maskrcnn.py:90)
+        def proposals_one(lg, dl):
+            # lg/dl: per-level tuples for a single image
 
             lvl_boxes, lvl_scores = [], []
             for lv in range(len(levels)):
-                obj = lg[lv].reshape(-1)                       # (A*H*W,) NHWC->A last
+                obj = lg[lv].reshape(-1)                       # (H*W*A,)
                 dts = dl[lv].reshape(-1, 4)
                 anc = anchors[lv]
                 k = min(PRE_NMS_TOP_N, obj.shape[0])
@@ -187,50 +199,48 @@ class MaskRCNNDetector(nn.Module):
             top_scores, top_i = jax.lax.top_k(all_scores, k)
             return all_boxes[top_i], jnp.isfinite(top_scores)
 
-        # reshape NHWC anchor-channel layout to torchvision's (A, H, W) flatten
+        # reshape NHWC anchor-channel layout to torchvision's flatten
+        # (grid-major, A minor) while keeping the batch axis
         def reflatten(x, per_anchor):
-            # (H, W, A*per) -> (A*H*W, per) matching anchors (grid-major, A minor)
-            Hh, Ww, _ = x.shape
-            return x.reshape(Hh * Ww * len(ASPECT_RATIOS), per_anchor)
+            Bb, Hh, Ww, _ = x.shape
+            return x.reshape(Bb, Hh * Ww * n_anchors, per_anchor)
 
-        prop_boxes, prop_valid = [], []
-        for b in range(B):
-            lg = [reflatten(logits[lv][b], 1) for lv in range(len(levels))]
-            dl = [reflatten(deltas[lv][b], 4) for lv in range(len(levels))]
-            pb, pv = proposals_one((lg, dl))
-            prop_boxes.append(pb)
-            prop_valid.append(pv)
-        prop_boxes = jnp.stack(prop_boxes)                      # (B, P, 4)
-        prop_valid = jnp.stack(prop_valid)
+        lg = tuple(reflatten(logits[lv], 1) for lv in range(len(levels)))
+        dl = tuple(reflatten(deltas[lv], 4) for lv in range(len(levels)))
+        prop_boxes, prop_valid = jax.vmap(proposals_one)(lg, dl)  # (B, P, 4), (B, P)
 
-        # ---- RoI heads (levels 0-3 only, torchvision MultiScaleRoIAlign)
-        box_head = TwoMLPHead(name="box_head")
-        predictor = FastRCNNPredictor(self.num_classes, name="box_predictor")
+        # ---- RoI heads (levels 0-3 only, torchvision MultiScaleRoIAlign).
+        # RoI-align is vmapped; the MLP head + predictor then run ONCE over
+        # the folded (B*P) batch — a single big matmul instead of B copies.
+        sy_strides = [s[0] for s in strides]
+        pooled = jax.vmap(
+            lambda fs, bx: multiscale_roi_align(
+                list(fs), sy_strides[:4], bx, output_size=7, sampling_ratio=2
+            )
+        )(tuple(feats[:4]), prop_boxes)                        # (B, P, 7, 7, C)
+        P = pooled.shape[1]
+        # torchvision flattens NCHW: (C, 7, 7) order
+        pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(B * P, -1)
+        x = TwoMLPHead(name="box_head")(pooled)
+        class_logits, box_deltas = FastRCNNPredictor(
+            self.num_classes, name="box_predictor"
+        )(x)
+        ncls = self.num_classes
+        scores = jax.nn.softmax(class_logits, axis=-1).reshape(B, P, ncls)
+        box_deltas = box_deltas.reshape(B, P, ncls * 4)
 
-        det_boxes, det_scores, det_labels, det_valid = [], [], [], []
-        for b in range(B):
-            pooled = multiscale_roi_align(
-                [feats[lv][b] for lv in range(4)], strides[:4],
-                prop_boxes[b], output_size=7, sampling_ratio=2,
-            )                                                  # (P, 7, 7, C)
-            # torchvision flattens NCHW: (C, 7, 7) order
-            pooled = jnp.transpose(pooled, (0, 3, 1, 2))
-            x = box_head(pooled)
-            class_logits, box_deltas = predictor(x)
-            scores = jax.nn.softmax(class_logits, axis=-1)     # (P, n_cls)
-            P = scores.shape[0]
-            ncls = self.num_classes
+        def postprocess_one(scores_b, deltas_b, prop_boxes_b, prop_valid_b):
             # decode per class (weights (10, 10, 5, 5))
-            deltas_pc = box_deltas.reshape(P * ncls, 4)
-            anchors_pc = jnp.repeat(prop_boxes[b], ncls, axis=0)
+            deltas_pc = deltas_b.reshape(P * ncls, 4)
+            anchors_pc = jnp.repeat(prop_boxes_b, ncls, axis=0)
             boxes_pc = decode_boxes(deltas_pc, anchors_pc, weights=(10.0, 10.0, 5.0, 5.0))
             boxes_pc = clip_boxes(boxes_pc, image_size)        # (P*ncls, 4)
-            scores_pc = scores.reshape(P * ncls)
+            scores_pc = scores_b.reshape(P * ncls)
             labels_pc = jnp.tile(jnp.arange(ncls), (P,))
             valid_pc = (
                 (labels_pc > 0)                                 # drop background
                 & (scores_pc > self.score_thresh)
-                & jnp.repeat(prop_valid[b], ncls)
+                & jnp.repeat(prop_valid_b, ncls)
                 & ((boxes_pc[:, 2] - boxes_pc[:, 0]) >= 1e-2)   # remove_small 0.01
                 & ((boxes_pc[:, 3] - boxes_pc[:, 1]) >= 1e-2)
             )
@@ -244,14 +254,11 @@ class MaskRCNNDetector(nn.Module):
                 jnp.isfinite(cand_scores), self.nms_thresh, self.max_detections,
             )
             sel = cand_i[keep_idx]
-            det_boxes.append(boxes_pc[sel])
-            det_scores.append(jnp.where(keep_valid, scores_pc[sel], 0.0))
-            det_labels.append(jnp.where(keep_valid, labels_pc[sel], -1).astype(jnp.int32))
-            det_valid.append(keep_valid)
+            return {
+                "boxes": boxes_pc[sel],
+                "scores": jnp.where(keep_valid, scores_pc[sel], 0.0),
+                "labels": jnp.where(keep_valid, labels_pc[sel], -1).astype(jnp.int32),
+                "valid": keep_valid,
+            }
 
-        return {
-            "boxes": jnp.stack(det_boxes),
-            "scores": jnp.stack(det_scores),
-            "labels": jnp.stack(det_labels),
-            "valid": jnp.stack(det_valid),
-        }
+        return jax.vmap(postprocess_one)(scores, box_deltas, prop_boxes, prop_valid)

