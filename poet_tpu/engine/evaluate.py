@@ -29,6 +29,7 @@ def _matched_pairs_to_host(out, targets, rotation_mode):
     tgt_idx = np.asarray(out["match_tgt_idx"])
     pred_t = np.asarray(out["pred_translation"])
     pred_r = np.asarray(out["pred_rotation"])
+    pred_s = np.asarray(out["pred_scores"]) if "pred_scores" in out else None
     if rotation_mode in ("quat", "silho_quat"):
         pred_r = np.asarray(Q.quat2rot(jnp.asarray(pred_r)))
     tgt_t = np.asarray(targets["relative_position"])
@@ -53,9 +54,103 @@ def _matched_pairs_to_host(out, targets, rotation_mode):
                     tgt_translation=tgt_t[b, j],
                     intrinsics=intr[b, j] if intr is not None else None,
                     image_id=int(image_ids[b]) if image_ids is not None else -1,
+                    score=float(pred_s[b, i]) if pred_s is not None else 1.0,
                 )
             )
     return pairs
+
+
+def parse_scene_img(img_file: str):
+    """BOP path -> (scene_id, im_id).
+
+    The reference parses fixed path positions of
+    '<split>/<scene_id>/rgb/<im_id>.png' (engine.py:229-230: file_info[1] and
+    file_info[3]); the scene is equivalently the third-from-last component,
+    which also covers dataset roots written without a split prefix.
+    Malformed components fall back to 0 instead of raising.
+    """
+    parts = img_file.split("/")
+
+    def to_int(x):
+        try:
+            return int(x)
+        except ValueError:
+            return 0
+
+    scene = to_int(parts[-3]) if len(parts) >= 3 else 0
+    return scene, to_int(os.path.splitext(parts[-1])[0])
+
+
+_PAIR_FIELDS = (
+    ("cls", ()), ("image_id", ()), ("score", ()),
+    ("pred_rotation", (3, 3)), ("pred_translation", (3,)),
+    ("tgt_rotation", (3, 3)), ("tgt_translation", (3,)),
+    ("intrinsics", (3, 3)),
+)
+
+
+def pack_pairs(pairs, pad_to: int):
+    """Matched-pair dicts -> fixed-size field arrays (for cross-host gather).
+
+    Returns {field: (pad_to, *shape) f32} plus 'count' and 'has_intrinsics'.
+    """
+    out = {"count": np.asarray([len(pairs)], np.int32)}
+    has_intr = bool(pairs) and pairs[0]["intrinsics"] is not None
+    out["has_intrinsics"] = np.asarray([has_intr], np.int32)
+    for field, shape in _PAIR_FIELDS:
+        arr = np.zeros((pad_to,) + shape, np.float32)
+        for i, pr in enumerate(pairs):
+            v = pr.get(field, 1.0 if field == "score" else None)
+            if v is None:
+                continue
+            arr[i] = np.asarray(v, np.float32)
+        out[field] = arr
+    return out
+
+
+def unpack_pairs(packed):
+    """Inverse of pack_pairs for one host's packed block."""
+    n = int(packed["count"][0])
+    has_intr = bool(packed["has_intrinsics"][0])
+    pairs = []
+    for i in range(n):
+        pairs.append(
+            dict(
+                cls=int(packed["cls"][i]),
+                image_id=int(packed["image_id"][i]),
+                pred_rotation=packed["pred_rotation"][i],
+                pred_translation=packed["pred_translation"][i],
+                tgt_rotation=packed["tgt_rotation"][i],
+                tgt_translation=packed["tgt_translation"][i],
+                intrinsics=packed["intrinsics"][i] if has_intr else None,
+                score=float(packed["score"][i]),
+            )
+        )
+    return pairs
+
+
+def gather_pairs_across_hosts(pairs):
+    """All-gather matched pose pairs so every host evaluates the FULL set.
+
+    The reference evaluates single-process only (no gathering in
+    engine.py:96-184 — rank 0 would silently score its shard); here the eval
+    loader shards by process and this gather restores full-dataset metrics on
+    every host. No-op in single-process runs.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return pairs
+    from jax.experimental import multihost_utils as mhu
+
+    counts = np.asarray(mhu.process_allgather(np.asarray([len(pairs)], np.int32)))
+    pad_to = max(1, int(counts.max()))
+    packed = pack_pairs(pairs, pad_to)
+    gathered = {k: np.asarray(mhu.process_allgather(v)) for k, v in packed.items()}
+    merged = []
+    for p in range(jax.process_count()):
+        merged.extend(unpack_pairs({k: v[p] for k, v in gathered.items()}))
+    return merged
 
 
 def pose_evaluate(model, params, pose_evaluator, data_loader, cfg: PoETConfig,
@@ -78,18 +173,22 @@ def pose_evaluate(model, params, pose_evaluator, data_loader, cfg: PoETConfig,
     processed = 0
     start = time.time()
     file_names = {i: data_loader.dataset.file_name(i) for i in data_loader.dataset.ids}
+    local_pairs = []
     for images, pad_mask, targets in data_loader.epoch(0):
         out = forward(params, images, pad_mask, targets)
-        pairs = _matched_pairs_to_host(out, targets, cfg.model.rotation_representation)
-        for pr in pairs:
-            pose_evaluator.record(
-                pr["cls"], pr["pred_rotation"], pr["pred_translation"],
-                pr["tgt_rotation"], pr["tgt_translation"],
-                img_file=file_names.get(pr["image_id"], ""),
-                intrinsics=pr["intrinsics"],
-            )
+        local_pairs.extend(
+            _matched_pairs_to_host(out, targets, cfg.model.rotation_representation)
+        )
         processed += images.shape[0]
         print(f"Processed {processed}/{n_images}")
+    # restore full-dataset metrics when the eval loader is process-sharded
+    for pr in gather_pairs_across_hosts(local_pairs):
+        pose_evaluator.record(
+            pr["cls"], pr["pred_rotation"], pr["pred_translation"],
+            pr["tgt_rotation"], pr["tgt_translation"],
+            img_file=file_names.get(pr["image_id"], ""),
+            intrinsics=pr["intrinsics"],
+        )
     total = time.time() - start
     print(f"Network Processing Time: {datetime.timedelta(seconds=int(total))}  "
           f"Images: {processed}  s/img: {total / max(processed, 1):.4f}")
@@ -129,15 +228,15 @@ def bop_evaluate(model, params, data_loader, cfg: PoETConfig, image_set: str,
             pred_time = time.time() - t0
             pairs = _matched_pairs_to_host(out, targets, cfg.model.rotation_representation)
             for pr in pairs:
-                img_file = file_names.get(pr["image_id"], "//0/0.png")
-                info = img_file.split("/")
-                scene_id = int(info[1]) if len(info) > 3 and info[1].isdigit() else 0
-                img_id = int(os.path.splitext(info[-1])[0]) if info[-1][:1].isdigit() else 0
+                scene_id, img_id = parse_scene_img(file_names.get(pr["image_id"], ""))
                 R = pr["pred_rotation"]
                 t = pr["pred_translation"] * 1000.0
+                # score: the reference hardcodes 1.0 (engine.py:232); in
+                # backbone mode the detector confidence is available, so we
+                # write it (gt/jitter queries carry score 1.0 = parity)
                 f.write(
                     "\n{},{},{},{},{} {} {} {} {} {} {} {} {}, {} {} {}, {}".format(
-                        scene_id, img_id, pr["cls"], 1.0,
+                        scene_id, img_id, pr["cls"], pr["score"],
                         R[0, 0], R[0, 1], R[0, 2], R[1, 0], R[1, 1], R[1, 2],
                         R[2, 0], R[2, 1], R[2, 2], t[0], t[1], t[2], pred_time,
                     )

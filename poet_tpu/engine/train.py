@@ -183,6 +183,7 @@ def make_eval_forward(model, cfg: PoETConfig):
             "pred_rotation": outputs["rotations"][-1],
             "pred_boxes": outputs["pred_boxes"],
             "pred_classes": outputs["pred_classes"],
+            "pred_scores": outputs["pred_scores"],
             "match_tgt_idx": match.tgt_idx,
             "match_valid": match.valid,
         }

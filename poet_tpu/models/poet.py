@@ -87,9 +87,10 @@ class PoET(nn.Module):
             t_classes = targets["labels"]
             n_boxes = targets["n_boxes"]
             valid_q = jnp.arange(Q)[None, :] < n_boxes[:, None]     # (B, Q)
+            t_scores = valid_q.astype(jnp.float32)
         elif cfg.bbox_mode == "backbone":
             assert detections is not None, "backbone bbox_mode needs detections"
-            t_boxes, t_classes, n_boxes, valid_q = self._select_detections(
+            t_boxes, t_classes, t_scores, n_boxes, valid_q = self._select_detections(
                 detections, Q, image_size
             )
         else:
@@ -182,6 +183,10 @@ class PoET(nn.Module):
             "rotations": jnp.stack(rotations),           # (n_layers, B, Q, 3, 3|4)
             "pred_boxes": t_boxes,                       # (B, Q, 4)
             "pred_classes": t_classes,                   # (B, Q)
+            "pred_scores": t_scores,                     # (B, Q): detector
+            # confidence in backbone mode, 1.0 for valid gt/jitter queries
+            # (consumed by the BOP CSV exporter; the reference always writes
+            # score=1.0, engine.py:232)
             "n_boxes": n_boxes,                          # (B,)
             "query_valid": valid_q,                      # (B, Q)
         }
@@ -212,11 +217,13 @@ class PoET(nn.Module):
             sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, pad), (0, 0)))
             sel_labels = jnp.pad(sel_labels, ((0, 0), (0, pad)), constant_values=-1)
             valid = jnp.pad(valid, ((0, 0), (0, pad)))
+            top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)))
+        sel_scores = jnp.where(valid, top_scores, 0.0)
         n_boxes = jnp.sum(valid, axis=1).astype(jnp.int32)
         # xyxy absolute -> cxcywh normalized (:258-261)
         cxcywh = box_ops.box_xyxy_to_cxcywh(sel_boxes)
         cxcywh = box_ops.box_normalize_cxcywh(cxcywh, image_size)
-        return cxcywh, sel_labels, n_boxes, valid
+        return cxcywh, sel_labels, sel_scores, n_boxes, valid
 
     def _select_class(self, out, output_idx, n_classes):
         """(B, Q, n_classes * d) -> (B, Q, d) picking the predicted class row.

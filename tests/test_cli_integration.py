@@ -73,8 +73,22 @@ def test_cli_train_then_eval_then_bop(workspace):
     lines = open(csv_path).read().splitlines()
     assert lines[0] == "scene_id,im_id,obj_id,score,R,t,time"
     assert len(lines) > 1
-    row = lines[1].split(",")
-    assert len(row) == 7 and len(row[4].split()) == 9  # R is 9 numbers
+    # strict BOP schema on every row: ids from the real file paths
+    # ("000001/rgb/00000N.png" -> scene 1), score 1.0 in gt mode, R a valid
+    # 9-float rotation, t 3 floats (mm), time a float
+    seen_img_ids = set()
+    for line in lines[1:]:
+        row = line.split(",")
+        assert len(row) == 7
+        assert int(row[0]) == 1                       # scene id
+        seen_img_ids.add(int(row[1]))
+        assert 1 <= int(row[2]) <= 3                  # obj id in label range
+        assert float(row[3]) == 1.0                   # gt-mode score parity
+        R = np.asarray([float(x) for x in row[4].split()]).reshape(3, 3)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        assert len(row[5].split()) == 3
+        float(row[6])
+    assert len(seen_img_ids) > 1                      # multiple images exported
 
 
 def test_cli_inference(workspace):

@@ -201,3 +201,74 @@ def test_quat_error():
     q1 = jnp.asarray([[np.cos(0.25), np.sin(0.25), 0, 0]])  # 0.5 rad about x
     q2 = jnp.asarray([[1.0, 0, 0, 0]])
     np.testing.assert_allclose(np.asarray(quat_error(q1, q2)), 0.5, atol=1e-5)
+
+
+class TestMultiHostEvalGather:
+    """pose_evaluate gathers matched pairs across process-sharded eval
+    loaders (the reference would silently score 1/N of the data per rank)."""
+
+    def _pairs(self, rng, n, with_intr=True):
+        import numpy as np
+
+        out = []
+        for i in range(n):
+            out.append(dict(
+                cls=int(rng.integers(1, 5)),
+                image_id=i,
+                pred_rotation=rng.normal(size=(3, 3)).astype(np.float32),
+                pred_translation=rng.normal(size=(3,)).astype(np.float32),
+                tgt_rotation=rng.normal(size=(3, 3)).astype(np.float32),
+                tgt_translation=rng.normal(size=(3,)).astype(np.float32),
+                intrinsics=rng.normal(size=(3, 3)).astype(np.float32)
+                if with_intr else None,
+            ))
+        return out
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from poet_tpu.engine.evaluate import pack_pairs, unpack_pairs
+
+        pairs = self._pairs(rng, 5)
+        back = unpack_pairs(pack_pairs(pairs, pad_to=9))
+        assert len(back) == 5
+        for a, b in zip(pairs, back):
+            assert a["cls"] == b["cls"] and a["image_id"] == b["image_id"]
+            np.testing.assert_allclose(a["pred_rotation"], b["pred_rotation"])
+            np.testing.assert_allclose(a["intrinsics"], b["intrinsics"])
+
+    def test_simulated_two_process_merge(self, rng):
+        """Pad-to-max + stack (what process_allgather produces) + per-process
+        unpack must reproduce the unsharded pair set exactly."""
+        from poet_tpu.engine.evaluate import pack_pairs, unpack_pairs
+
+        pairs = self._pairs(rng, 7, with_intr=False)
+        shards = [pairs[0::2], pairs[1::2]]             # process-sharded halves
+        pad_to = max(len(s) for s in shards)
+        packed = [pack_pairs(s, pad_to) for s in shards]
+        gathered = {k: np.stack([p[k] for p in packed]) for k in packed[0]}
+        merged = []
+        for p in range(2):
+            merged.extend(unpack_pairs({k: v[p] for k, v in gathered.items()}))
+        assert len(merged) == len(pairs)
+        got = sorted(merged, key=lambda d: d["image_id"])
+        for a, b in zip(pairs, got):
+            assert a["image_id"] == b["image_id"] and a["cls"] == b["cls"]
+            np.testing.assert_allclose(a["tgt_translation"], b["tgt_translation"])
+            assert b["intrinsics"] is None
+
+    def test_single_process_identity(self, rng):
+        from poet_tpu.engine.evaluate import gather_pairs_across_hosts
+
+        pairs = self._pairs(rng, 3)
+        assert gather_pairs_across_hosts(pairs) is pairs
+
+
+def test_parse_scene_img():
+    """BOP path parsing matches the reference's positional parse
+    (engine.py:229-230) and degrades gracefully."""
+    from poet_tpu.engine.evaluate import parse_scene_img
+
+    assert parse_scene_img("test/000048/rgb/000123.png") == (48, 123)
+    assert parse_scene_img("train_pbr/000001/rgb/1.jpg") == (1, 1)
+    assert parse_scene_img("000002/rgb/000007.png") == (2, 7)  # no split prefix
+    assert parse_scene_img("weird.png") == (0, 0)
+    assert parse_scene_img("") == (0, 0)
