@@ -48,6 +48,9 @@ def build_model(cfg: PoETConfig) -> PoET:
                 )
             if rcnn_cfg.get("input_resize"):
                 cfg.backbone.input_resize = tuple(rcnn_cfg["input_resize"])
+        import jax.numpy as jnp
+
+        bb_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
         if cfg.model.bbox_mode == "backbone" or cfg.runtime.inference:
             obj_map = LMO_OBJ_ID_MAP if cfg.data.dataset == "lmo" else None
             backbone = MaskRCNNDetectorBackbone(
@@ -55,9 +58,10 @@ def build_model(cfg: PoETConfig) -> PoET:
                 max_detections=cfg.backbone.max_detections,
                 obj_id_map=obj_map,
                 anchor_sizes=cfg.backbone.anchor_sizes,
+                dtype=bb_dtype,
             )
         else:
-            backbone = MaskRCNNFeatureBackbone()
+            backbone = MaskRCNNFeatureBackbone(dtype=bb_dtype)
     elif cfg.backbone.name == "yolov4":
         from poet_tpu.models.yolov4 import YOLOv4Backbone, load_cfg_sections
 

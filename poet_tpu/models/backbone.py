@@ -36,23 +36,25 @@ class MaskRCNNDetectorBackbone(nn.Module):
     train_backbone: bool = False
     # per-FPN-level anchor sizes from the rcnn YAML; None -> torchvision defaults
     anchor_sizes: Optional[Tuple[Tuple[int, ...], ...]] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
         from poet_tpu.models.maskrcnn import MaskRCNNDetector
 
-        feats = ResNetFPN(name="fpn_body")(images)
+        feats = ResNetFPN(dtype=self.dtype, name="fpn_body")(images)
         if not self.train_backbone:
             feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
         det_kwargs = {}
         if self.anchor_sizes is not None:
             det_kwargs["anchor_sizes"] = self.anchor_sizes
+        # box decode / score / NMS arithmetic stays f32 for ranking stability
         dets = MaskRCNNDetector(
             num_classes=self.num_classes,
             max_detections=self.max_detections,
             name="detector",
             **det_kwargs,
-        )(feats, images.shape[1:3])
+        )({k: v.astype(jnp.float32) for k, v in feats.items()}, images.shape[1:3])
 
         if self.obj_id_map is not None:
             raw = dets["labels"]
@@ -82,10 +84,11 @@ class MaskRCNNFeatureBackbone(nn.Module):
     return_layers: Tuple[str, ...] = ("2", "3", "pool")
     num_channels: Tuple[int, ...] = (256, 256, 256)
     train_backbone: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
-        feats = ResNetFPN(name="fpn_body")(images)
+        feats = ResNetFPN(dtype=self.dtype, name="fpn_body")(images)
         if not self.train_backbone:
             feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
         features, masks = [], []

@@ -75,10 +75,11 @@ class PoET(nn.Module):
         n_classes = cfg.n_classes + 1      # +1 dummy/background (:64)
         image_size = images.shape[1:3]     # (H, W)
 
+        compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         features, masks, backbone_dets = self.backbone(images, pad_mask)
         if detections is None:
             detections = backbone_dets
-        pos = add_position_embeddings(masks, C, images.dtype)
+        pos = add_position_embeddings(masks, C, compute_dtype)
 
         # ---- query construction ------------------------------------------
         if cfg.bbox_mode in ("gt", "jitter"):
@@ -114,28 +115,29 @@ class PoET(nn.Module):
         num_backbone_levels = len(features)
         num_extra = max(0, cfg.num_feature_levels - num_backbone_levels)
         for lvl, feat in enumerate(features):
-            x = nn.Conv(C, (1, 1), name=f"input_proj_{lvl}_conv")(feat)
-            x = nn.GroupNorm(num_groups=32, name=f"input_proj_{lvl}_gn")(x)
+            x = nn.Conv(C, (1, 1), dtype=compute_dtype, name=f"input_proj_{lvl}_conv")(feat)
+            x = nn.GroupNorm(num_groups=32, dtype=compute_dtype,
+                             name=f"input_proj_{lvl}_gn")(x)
             srcs.append(x)
         for e in range(num_extra):
             lvl = num_backbone_levels + e
             src_in = features[-1] if e == 0 else srcs[-1]            # (:326-329)
             x = nn.Conv(C, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                        name=f"input_proj_{lvl}_conv")(src_in)
-            x = nn.GroupNorm(num_groups=32, name=f"input_proj_{lvl}_gn")(x)
+                        dtype=compute_dtype, name=f"input_proj_{lvl}_conv")(src_in)
+            x = nn.GroupNorm(num_groups=32, dtype=compute_dtype,
+                             name=f"input_proj_{lvl}_gn")(x)
             srcs.append(x)
             m = jax.image.resize(
                 pad_mask.astype(jnp.float32), (B,) + x.shape[1:3], "nearest"
             ).astype(bool)
             masks.append(m)
             pos.append(
-                position_embedding_sine(m, num_pos_feats=C // 2).astype(images.dtype)
+                position_embedding_sine(m, num_pos_feats=C // 2).astype(compute_dtype)
             )
 
         # ---- reference points (:337-340) ----------------------------------
         reference_points = t_boxes[:, :, :2] if cfg.reference_points == "bbox" else None
 
-        compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         hs, init_reference, _ = DeformableTransformer(
             d_model=C,
             nhead=cfg.nheads,

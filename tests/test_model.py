@@ -183,3 +183,27 @@ def test_quaternion_mode(rng):
     )
     losses = crit.compute_losses(out, targets, match, rotation_mode="quat")
     assert np.isfinite(float(crit.weighted_total(losses)))
+
+
+def test_bfloat16_compute_matches_f32(rng):
+    """bf16 is the production inference dtype (bench.py); params stay f32 so
+    the same param tree drives both models. Outputs must stay within bf16
+    round-off of the f32 path: heads/losses run on f32-cast decoder states."""
+    cfg = tiny_config()
+    m32 = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    params = m32.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out32 = m32.apply(params, images, pad_mask, targets)
+
+    cfg.model.dtype = "bfloat16"
+    m16 = build_model(cfg)
+    out16 = m16.apply(params, images, pad_mask, targets)
+
+    t32, t16 = np.asarray(out32["translations"]), np.asarray(out16["translations"])
+    r32, r16 = np.asarray(out32["rotations"]), np.asarray(out16["rotations"])
+    assert t16.dtype == np.float32 and r16.dtype == np.float32
+    assert np.abs(t32 - t16).max() < 0.05
+    # geodesic angle between the two predicted rotations, in degrees
+    tr = np.einsum("...ij,...ij->...", r32, r16)
+    ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    assert ang.max() < 5.0
