@@ -88,7 +88,10 @@ class MaskRCNNFeatureBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
-        feats = ResNetFPN(dtype=self.dtype, name="fpn_body")(images)
+        # only compute the consumed pyramid levels (the detector-less path
+        # never touches strides 4/8 — see FPN.levels)
+        feats = ResNetFPN(dtype=self.dtype, levels=tuple(self.return_layers),
+                          name="fpn_body")(images)
         if not self.train_backbone:
             feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
         features, masks = [], []

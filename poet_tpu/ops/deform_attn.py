@@ -405,19 +405,29 @@ def ms_deform_attn_sep(
             attention_weights, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))
         )
     n_chunks = Q_pad // qc
+    # LEVEL-LEADING layout: slicing the level mid-dim of a (B, Q, H, L, P, 2)
+    # tensor lowered to pathological strided DMAs (~1 ms each, 20+ per layer
+    # in the profile); one transpose up front makes every per-level slice a
+    # free leading-dim view.
     loc_c = sampling_locations.reshape(B, n_chunks, qc, H, L, P, 2).transpose(
-        1, 0, 2, 3, 4, 5, 6
-    )
+        1, 4, 0, 2, 3, 5, 6
+    )                                                   # (n_chunks, L, B, qc, H, P, 2)
     attn_c = attention_weights.reshape(B, n_chunks, qc, H, L, P).transpose(
-        1, 0, 2, 3, 4, 5
-    )
+        1, 4, 0, 2, 3, 5
+    )                                                   # (n_chunks, L, B, qc, H, P)
+
+    # In bf16, keep the x-mix intermediate g in bf16 too: g is the dominant
+    # HBM term of the whole encoder (B*Q*H*P*Hl*D floats PER LEVEL — ~6 GB/
+    # layer at the paper config in f32) and the final y-mix still accumulates
+    # in f32.
+    g_dtype = dtype if dtype == jnp.bfloat16 else f32
 
     def chunk_fn(args):
-        loc_all, attn_all = args                              # (B, qc, H, L, P, *)
+        loc_all, attn_all = args                          # (L, B, qc, H, P, *)
         acc = jnp.zeros((B, qc, H, D), dtype=f32)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            loc = loc_all[:, :, :, lvl]                       # (B, qc, H, P, 2)
-            attn = attn_all[:, :, :, lvl]                     # (B, qc, H, P)
+            loc = loc_all[lvl]                            # (B, qc, H, P, 2)
+            attn = attn_all[lvl]                          # (B, qc, H, P)
 
             x = loc[..., 0].astype(f32) * Wl - 0.5
             y = loc[..., 1].astype(f32) * Hl - 0.5
@@ -444,10 +454,11 @@ def ms_deform_attn_sep(
             # x-mix on the MXU, y-mix as an fma reduction
             g = jnp.einsum(
                 "bqhpx,bhyxd->bqhpyd", bx.astype(dtype), value_ls[lvl],
-                preferred_element_type=f32,
+                preferred_element_type=g_dtype,
             )
             acc = acc + jnp.einsum(
-                "bqhpy,bqhpyd->bqhd", ay, g, preferred_element_type=f32
+                "bqhpy,bqhpyd->bqhd", ay.astype(g_dtype), g,
+                preferred_element_type=f32,
             )
         return acc
 
