@@ -243,7 +243,7 @@ def main(cfg: PoETConfig):
         from poet_tpu.utils.torch_import import load_backbone_weights
 
         params, bb_missing, bb_unexpected = load_backbone_weights(
-            params, cfg.backbone.weights)
+            params, cfg.backbone.weights, darknet_cfg=cfg.backbone.cfg_path)
         print(f"Loaded backbone weights from {cfg.backbone.weights}")
         if bb_missing:
             print("Backbone missing keys:", bb_missing)

@@ -62,7 +62,8 @@ def inference(model, params, cfg: PoETConfig):
         if cfg.backbone.weights:
             from poet_tpu.utils.torch_import import load_backbone_weights
 
-            params, bb_missing, _ = load_backbone_weights(params, cfg.backbone.weights)
+            params, bb_missing, _ = load_backbone_weights(
+                params, cfg.backbone.weights, darknet_cfg=cfg.backbone.cfg_path)
             if bb_missing:
                 print("Backbone missing keys:", bb_missing)
         if cfg.runtime.resume:

@@ -63,6 +63,8 @@ def build_model(cfg: PoETConfig) -> PoET:
         else:
             backbone = MaskRCNNFeatureBackbone(dtype=bb_dtype)
     elif cfg.backbone.name == "yolov4":
+        import jax.numpy as jnp
+
         from poet_tpu.models.yolov4 import YOLOv4Backbone, load_cfg_sections
 
         assert cfg.backbone.cfg_path, "--backbone_cfg (darknet cfg) required for yolov4"
@@ -72,6 +74,7 @@ def build_model(cfg: PoETConfig) -> PoET:
             iou_thresh=cfg.backbone.iou_thresh,
             agnostic_nms=cfg.backbone.agnostic_nms,
             max_detections=cfg.backbone.max_detections,
+            dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
         )
     else:
         raise NotImplementedError(f"backbone {cfg.backbone.name!r}")

@@ -67,11 +67,13 @@ class DarknetBody(nn.Module):
     """
 
     sections: Tuple[Tuple[Tuple[str, Any], ...], ...]   # hashable cfg
+    dtype: jnp.dtype = jnp.float32                      # conv compute dtype
 
     @nn.compact
     def __call__(self, x):
         sections = [dict(s) for s in self.sections]
         assert sections[0]["type"] == "net"
+        x = x.astype(self.dtype)
         outputs: List[jnp.ndarray] = []
         yolo_inputs, yolo_specs, features = [], [], []
         li = 0
@@ -87,7 +89,7 @@ class DarknetBody(nn.Module):
                 y = nn.Conv(
                     filters, (size, size), strides=(stride, stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=not bn,
-                    name=f"conv_{li}",
+                    dtype=self.dtype, name=f"conv_{li}",
                 )(x)
                 if bn:
                     y = FrozenBatchNorm(filters, name=f"bn_{li}")(y)
@@ -190,11 +192,12 @@ class YOLOv4Backbone(nn.Module):
     max_detections: int = 100
     pre_nms: int = 512
     train_backbone: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, pad_mask: jnp.ndarray):
         yolo_inputs, yolo_specs, features = DarknetBody(
-            self.cfg_sections, name="body"
+            self.cfg_sections, dtype=self.dtype, name="body"
         )(images)
         if not self.train_backbone:
             yolo_inputs = [jax.lax.stop_gradient(y) for y in yolo_inputs]
@@ -205,8 +208,9 @@ class YOLOv4Backbone(nn.Module):
         all_boxes, all_scores = [], []
         for raw, spec in zip(yolo_inputs, yolo_specs):
             stride = img_h // raw.shape[1]
+            # decode/score/NMS in f32 for ranking stability
             boxes, scores = decode_yolo_u5(
-                raw, spec["anchors"], spec["classes"], stride
+                raw.astype(jnp.float32), spec["anchors"], spec["classes"], stride
             )
             all_boxes.append(boxes)
             all_scores.append(scores)

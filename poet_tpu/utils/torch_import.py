@@ -268,7 +268,8 @@ def convert_backbone_checkpoint(
     return tree
 
 
-def load_backbone_weights(params: Dict[str, Any], path: str):
+def load_backbone_weights(params: Dict[str, Any], path: str,
+                          darknet_cfg: str = None):
     """Merge a `--backbone_weights` detector checkpoint into model params.
 
     Parity: the reference loads the detector checkpoint at build time
@@ -276,8 +277,18 @@ def load_backbone_weights(params: Dict[str, Any], path: str):
     fasterrcnn). Here always strict=False with a missing/unexpected report —
     the caller decides whether to fail on it.
     Returns (params, missing, unexpected).
+
+    A darknet `.weights` file (the Scaled-YOLOv4 distribution format) routes
+    to utils.darknet_import; it needs the matching darknet cfg.
     """
     from poet_tpu.engine.checkpoint import merge_params
+
+    if path.endswith(".weights"):
+        from poet_tpu.models.yolov4 import load_cfg_sections
+        from poet_tpu.utils.darknet_import import load_yolov4_weights
+
+        assert darknet_cfg, "--backbone_cfg (darknet cfg) required for .weights"
+        return load_yolov4_weights(params, load_cfg_sections(darknet_cfg), path)
 
     sd = load_state_dict_file(path)
     backbone = params["params"]["backbone"]

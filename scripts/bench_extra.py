@@ -110,6 +110,7 @@ def bench_yolov4():
 
     B = int(os.environ.get("YOLO_BS", 16))
     cfg = PoETConfig()
+    cfg.model.dtype = os.environ.get("YOLO_DTYPE", "bfloat16")
     cfg.backbone.name = "yolov4"
     cfg.backbone.cfg_path = YOLO_CFG
     cfg.backbone.max_detections = 20
