@@ -47,8 +47,11 @@ SLOW_MODULES = {
     # the two kept-for-reference Pallas kernels (production path is 'sep')
     "test_deform_attn_pallas",
     "test_deform_attn_pallas_v2",
+    "test_tensor_parallel",  # dp x tp train steps on the 8-device mesh
+    "test_full_model_parity",  # builds the torch reference PoET end-to-end
 }
 SLOW_TESTS = {
+    "test_poet_conversion_merges_into_model",  # 54 s full converted-model apply
     "test_loss_and_gradients",
     "test_backbone_mode_matches_oracle_random",
     "test_random_many",
