@@ -302,17 +302,24 @@ class DeformableTransformer(nn.Module):
         valid_ratios = compute_valid_ratios(masks)
 
         # ---- encoder
+        # sequence parallelism (no-op without a 'seq' mesh axis): tokens
+        # sharded across devices; re-constrained after every layer so the
+        # FFN/norm token math stays parallel and only the sampling core's
+        # value all-gather communicates. See parallel/tp.py:shard_tokens.
+        from poet_tpu.parallel.tp import shard_tokens
+
         enc_layer_cls = (
             nn.remat(EncoderLayer, static_argnums=(4, 6)) if self.remat else EncoderLayer
         )
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios, src_flat.dtype)
-        out = src_flat
+        out = shard_tokens(src_flat)
         for i in range(self.num_encoder_layers):
             out = enc_layer_cls(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
                 self.enc_n_points, self.dropout, self.dtype, self.enc_impl,
                 name=f"encoder_layer_{i}",
             )(out, pos_flat, enc_ref, spatial_shapes, mask_flat, deterministic)
+            out = shard_tokens(out)
         memory = out
 
         # ---- decoder query prep (deformable_transformer.py:150-159)

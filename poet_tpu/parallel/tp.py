@@ -46,6 +46,50 @@ def create_mesh_2d(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def create_mesh_3d(n_data: int = -1, n_seq: int = 1, n_model: int = 1,
+                   devices=None) -> Mesh:
+    """('data', 'seq', 'model') mesh: dp x sp x tp.
+
+    'seq' shards the encoder's flattened multi-scale token axis (see
+    parallel/tp.py:shard_tokens / models/transformer.py) — the natural
+    long-sequence axis of PoET per SURVEY.md §5. Axis order keeps the
+    chattier axes minor (neighboring ICI links).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if n_data == -1:
+        n_data = len(devices) // (n_seq * n_model)
+    grid = np.asarray(devices[: n_data * n_seq * n_model]).reshape(
+        n_data, n_seq, n_model
+    )
+    return Mesh(grid, axis_names=("data", "seq", "model"))
+
+
+def shard_tokens(x, token_axis: int = 1):
+    """Constrain a (B, S, ...) activation to shard its token axis over 'seq'.
+
+    SEQUENCE PARALLELISM for the encoder: tokens split across 'seq'; the
+    deformable sampling core reads the full per-level value maps, so GSPMD
+    inserts one all-gather of the (small) value tensor per attention block
+    while the FFN/LayerNorm token math stays fully parallel — the same
+    communication shape as all-gather-KV sequence-parallel attention.
+
+    No-op unless called under `jax.set_mesh` with a 'seq' axis, so single-
+    device and dp/tp-only configurations are unaffected.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        axes = set(mesh.axis_names) if mesh is not None else set()
+    except Exception:
+        axes = set()
+    if "seq" not in axes:
+        return x
+    spec = [None] * x.ndim
+    if "data" in axes:
+        spec[0] = "data"
+    spec[token_axis] = "seq"
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 # (path regex, spec) — first match wins; kernels are (in, out) matrices
 # except flax MHA which uses (C, H, hd) / (H, hd, C).
 _TP_RULES = (

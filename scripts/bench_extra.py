@@ -61,6 +61,37 @@ def bench_latency_bs1():
     return dt
 
 
+def bench_latency_aleatoric():
+    """BASELINE.md: streaming video-rate inference with aleatoric heads."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from __graft_entry__ import _flagship_setup
+    from poet_tpu.models import build_model
+
+    cfg, model, images, pad_mask, targets = _flagship_setup(B=1, H=480, W=640)
+    cfg.model.aleatoric = True
+    model = build_model(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
+
+    def run_n(n):
+        @jax.jit
+        def loop(params, images, salt):
+            def body(i, carry):
+                out = model.apply(params, images * (1 + carry * 1e-9 + salt),
+                                  pad_mask, targets, deterministic=True)
+                return (jnp.mean(out["translations"].astype(jnp.float32))
+                        + jnp.mean(out["translations_aleatoric"].astype(jnp.float32)))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return lambda s: float(loop(params, images, jnp.float32(s)))
+
+    dt = _marginal(run_n)
+    print(f"bs=1 aleatoric (pose + per-axis log-variance) device latency: "
+          f"{dt*1e3:.2f} ms/image ({1/dt:.1f} img/s)")
+    return dt
+
+
 def bench_train_step():
     import jax
     import jax.numpy as jnp
@@ -142,6 +173,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("latency", "all"):
         bench_latency_bs1()
+    if which in ("aleatoric", "all"):
+        bench_latency_aleatoric()
     if which in ("train", "all"):
         bench_train_step()
     if which in ("yolo", "all"):

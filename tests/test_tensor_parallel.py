@@ -106,3 +106,59 @@ def test_tp_forward_matches_single_device():
         np.asarray(out_tp["translations"]), np.asarray(out_ref["translations"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sp_forward_matches_single_device():
+    """Sequence parallelism: encoder tokens sharded over 'seq' must not
+    change the forward output (GSPMD all-gathers the value maps)."""
+    from poet_tpu.parallel.tp import create_mesh_3d
+
+    cfg, model, images, pad_mask, targets = _setup(B=4)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), images, pad_mask, targets)
+    out_ref = jax.jit(
+        lambda p, i: model.apply(p, i, pad_mask, targets, deterministic=True)
+    )(params, images)
+
+    mesh = create_mesh_3d(2, 4, 1)   # dp=2 x sp=4
+    with jax.set_mesh(mesh):
+        p = shard_params(params, mesh)
+        batch = shard_batch({"images": images, "pad_mask": pad_mask, **targets}, mesh)
+        tg = {k: batch[k] for k in targets}
+        out_sp = jax.jit(
+            lambda p, i, m, t: model.apply(p, i, m, t, deterministic=True)
+        )(p, batch["images"], batch["pad_mask"], tg)
+    np.testing.assert_allclose(
+        np.asarray(out_sp["translations"]), np.asarray(out_ref["translations"]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_dp_sp_tp_train_step():
+    """Full 3-D dp x sp x tp mesh: one train step executes and matches the
+    dp-only loss."""
+    from poet_tpu.parallel.tp import create_mesh_3d
+
+    cfg, model, images, pad_mask, targets = _setup(B=8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg, params, steps_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+    step_fn = make_train_step(model, cfg, tx, donate=False)
+
+    def run(mesh):
+        with jax.set_mesh(mesh):
+            p = shard_params(params, mesh)
+            state = TrainState(params=p, opt_state=shard_opt_state(tx, p),
+                               step=jnp.zeros((), jnp.int32))
+            batch = shard_batch({"images": images, "pad_mask": pad_mask, **targets}, mesh)
+            tg = {k: batch[k] for k in targets}
+            new_state, metrics = step_fn(
+                state, batch["images"], batch["pad_mask"], tg, rng)
+            jax.block_until_ready(new_state)
+        return float(metrics["loss"])
+
+    loss_dp = run(create_mesh_3d(8, 1, 1))
+    loss_3d = run(create_mesh_3d(2, 2, 2))
+    assert np.isfinite(loss_3d)
+    np.testing.assert_allclose(loss_3d, loss_dp, rtol=1e-5)
