@@ -121,6 +121,9 @@ def get_args_parser():
     # TPU runtime (replaces main.py:176-187 distributed flags)
     p.add_argument("--mesh_data", default=-1, type=int,
                    help="devices on the data axis (-1: all)")
+    p.add_argument("--grad_accum_steps", default=1, type=int,
+                   help="micro-batches averaged per optimizer update "
+                        "(extension; effective batch = batch_size * this)")
     p.add_argument("--dtype", default="float32", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
@@ -133,7 +136,7 @@ def args_to_config(args) -> PoETConfig:
                                cfg.loss, cfg.data, cfg.eval, cfg.runtime)
     for k in ("lr", "lr_backbone", "lr_linear_proj_mult", "batch_size",
               "eval_batch_size", "weight_decay", "epochs", "lr_drop",
-              "clip_max_norm", "sgd"):
+              "clip_max_norm", "sgd", "grad_accum_steps"):
         setattr(o, k, getattr(args, k))
     o.lr_backbone_names = tuple(args.lr_backbone_names)
     o.lr_linear_proj_names = tuple(args.lr_linear_proj_names)

@@ -30,6 +30,10 @@ class OptimConfig:
     lr_drop: int = 100              # StepLR-equivalent drop interval (epochs)
     clip_max_norm: float = 0.1
     sgd: bool = False               # main.py:160 — SGD(momentum=0.9) instead of AdamW
+    # Extension (absent in the reference, SURVEY §2.3): average gradients
+    # over N micro-batches before each optimizer update (optax.MultiSteps) —
+    # effective batch = batch_size * grad_accum_steps at constant HBM.
+    grad_accum_steps: int = 1
 
 
 @dataclass

@@ -98,6 +98,11 @@ def make_optimizer(cfg: PoETConfig, params, steps_per_epoch: int) -> optax.Gradi
     tx = optax.multi_transform(transforms, labels)
     if o.clip_max_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(o.clip_max_norm), tx)
+    if o.grad_accum_steps > 1:
+        # average grads over N micro-batches per update (extension — the
+        # reference has no gradient accumulation, SURVEY §2.3); clipping
+        # applies to the accumulated mean, matching large-batch semantics.
+        tx = optax.MultiSteps(tx, every_k_schedule=o.grad_accum_steps)
     return tx
 
 

@@ -157,3 +157,44 @@ def test_calibrate_only_updates_aleatoric(setup):
             frozen_moved.append(name)
     assert changed, "aleatoric heads did not update"
     assert not frozen_moved, frozen_moved[:5]
+
+
+def test_gradient_accumulation(setup):
+    """grad_accum_steps=2 with the SAME micro-batch twice must (a) leave
+    params untouched after the first micro-step and (b) land on exactly the
+    accum=1 update after the second (mean of identical grads = the grad)."""
+    cfg, model, (images, pad_mask, targets) = setup
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    rng = jax.random.PRNGKey(3)
+
+    import copy
+
+    cfg1 = copy.deepcopy(cfg)
+    tx1 = make_optimizer(cfg1, params, steps_per_epoch=10)
+    s1 = TrainState(params=params, opt_state=tx1.init(params),
+                    step=jnp.zeros((), jnp.int32))
+    step1 = make_train_step(model, cfg1, tx1, donate=False)
+    ref_state, _ = step1(s1, images, pad_mask, targets, rng)
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.optim.grad_accum_steps = 2
+    tx2 = make_optimizer(cfg2, params, steps_per_epoch=10)
+    s2 = TrainState(params=params, opt_state=tx2.init(params),
+                    step=jnp.zeros((), jnp.int32))
+    step2 = make_train_step(model, cfg2, tx2, donate=False)
+    mid, _ = step2(s2, images, pad_mask, targets, rng)
+    # no update yet: params identical to the init
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(mid.params),
+        jax.tree_util.tree_leaves_with_path(params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+    final, _ = step2(mid, images, pad_mask, targets, rng)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(final.params),
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(pa))
