@@ -11,7 +11,13 @@ import time
 
 import numpy as np
 
-SHAPES = [(30, 40), (15, 20), (8, 10), (4, 5)]
+import os as _os
+# DEFORM_SHAPES=yolo selects the YOLOv4-CSP encoder pyramid (strides 8/16/32
+# + extra stride-64 level, 640x480 input) -> S = 6380 tokens; default is the
+# Mask R-CNN pyramid (strides 16/32/64 + extra 128) -> S = 1580.
+SHAPES = ([(60, 80), (30, 40), (15, 20), (8, 10)]
+          if _os.environ.get("DEFORM_SHAPES") == "yolo"
+          else [(30, 40), (15, 20), (8, 10), (4, 5)])
 
 
 def main():
