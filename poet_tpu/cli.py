@@ -124,6 +124,9 @@ def get_args_parser():
     p.add_argument("--grad_accum_steps", default=1, type=int,
                    help="micro-batches averaged per optimizer update "
                         "(extension; effective batch = batch_size * this)")
+    p.add_argument("--zero_opt_state", action="store_true",
+                   help="ZeRO-1: shard AdamW moments across the data axis "
+                        "(extension; params stay replicated)")
     p.add_argument("--dtype", default="float32", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
@@ -170,7 +173,7 @@ def args_to_config(args) -> PoETConfig:
     e.model_symmetry = args.model_symmetry
     for k in ("inference", "inference_path", "inference_output", "save_interval",
               "output_dir", "seed", "resume", "start_epoch", "eval", "eval_bop",
-              "mesh_data", "dtype"):
+              "mesh_data", "dtype", "zero_opt_state"):
         setattr(r, k, getattr(args, k))
     m.dtype = args.dtype
     cfg.profile_dir = getattr(args, "profile_dir", None)
@@ -291,6 +294,17 @@ def main(cfg: PoETConfig):
         state = TrainState(params=state.params, opt_state=payload["opt_state"],
                            step=jnp.asarray(payload["step"], jnp.int32))
     state = replicate(state, mesh)
+    if cfg.runtime.zero_opt_state and mesh.shape["data"] > 1:
+        # ZeRO-1 (extension): reshard the AdamW moments across the data axis;
+        # GSPMD keeps them sharded through every train step.
+        from poet_tpu.parallel.zero import zero1_opt_state_shardings
+
+        opt_shardings = zero1_opt_state_shardings(tx, state.params, mesh)
+        state = TrainState(
+            params=state.params,
+            opt_state=jax.device_put(state.opt_state, opt_shardings),
+            step=state.step,
+        )
     step_fn = make_train_step(model, cfg, tx, donate=cfg.runtime.donate_step)
 
     print("Start training")

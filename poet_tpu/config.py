@@ -153,6 +153,11 @@ class RuntimeConfig:
     mesh_data: int = -1             # -1: use all devices
     dtype: str = "float32"          # compute dtype for the transformer
     donate_step: bool = True        # donate TrainState buffers to the jitted step
+    # Extension (absent in the reference, SURVEY §2.3): ZeRO-1 — shard the
+    # AdamW moments across the data axis instead of replicating them
+    # (parallel/zero.py). Params stay replicated; GSPMD emits the
+    # reduce-scatter/all-gather schedule.
+    zero_opt_state: bool = False
 
 
 @dataclass

@@ -264,10 +264,14 @@ class DeformableTransformer(nn.Module):
     # The decoder cross-attention always uses 'mxu' — at Q = num_queries (~10)
     # its one-hot construction is trivially cheap and measured fastest.
     enc_impl: str = "mxu"
-    # Rematerialize layers in the backward pass. Without this, the backward
-    # residuals of the one-hot sampling (a (B, Q, H, 16, S_l) select
-    # predicate PER LAYER) blow HBM: a bs=16 training step was measured
-    # needing 64 GB. With remat the layer recomputes its forward instead.
+    # Rematerialize ENCODER layers in the backward pass. Without this, the
+    # backward residuals of the sampling core (Q = S tokens per layer) blow
+    # HBM: a bs=16 training step was measured needing 64 GB. With remat the
+    # layer recomputes its forward instead. The DECODER is deliberately NOT
+    # rematerialized: at Q = num_queries (~10) its residuals are ~0.1 GB per
+    # layer, and rematting it only added a wasted re-forward to every step
+    # (measured: bwd+refwd 143 ms of the 181 ms bs=16 train step with both
+    # stacks rematted).
     remat: bool = True
 
     @nn.compact
@@ -336,10 +340,9 @@ class DeformableTransformer(nn.Module):
             ref = reference_points
         init_reference = ref
 
-        # ---- decoder with stacked intermediates
-        dec_layer_cls = (
-            nn.remat(DecoderLayer, static_argnums=(5, 7)) if self.remat else DecoderLayer
-        )
+        # ---- decoder with stacked intermediates (never rematerialized; see
+        # the `remat` field note)
+        dec_layer_cls = DecoderLayer
         intermediates = []
         output = tgt
         for i in range(self.num_decoder_layers):

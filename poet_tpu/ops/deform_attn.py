@@ -243,6 +243,13 @@ def ms_deform_attn_patch(
     patches (B*H*q_chunk*P*4*D elements per level) never exceed a bounded
     working set.
 
+    WARNING: forward-only in practice. The autodiff transpose of the batched
+    `lax.gather` is a scatter-add that triggered a TPU worker crash (kernel
+    fault) when benchmarked at encoder shapes (2026-08-16, v5e). The
+    production paths (`sep` encoder / `mxu` decoder) differentiate cleanly —
+    their backward is transposed matmuls; this formulation is kept for
+    inference experiments and as documentation of the measured ladder.
+
     Args/returns: see `ms_deform_attn_xla`.
     """
     B, S, H, D = value.shape
