@@ -64,12 +64,18 @@ def zero1_opt_state_shardings(tx, params: Any, mesh: Mesh,
     if base_shardings is not None:
         base_leaves = jax.tree_util.tree_leaves(base_shardings)
 
+    def base_spec_of(entry):
+        # accept a NamedSharding, or an array whose .sharding is one (so an
+        # already-placed opt state can serve directly as the base)
+        if isinstance(entry, NamedSharding):
+            return entry.spec
+        s = getattr(entry, "sharding", None)
+        return s.spec if isinstance(s, NamedSharding) else None
+
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     out = []
     for i, leaf in enumerate(leaves):
-        base = None
-        if base_leaves is not None and isinstance(base_leaves[i], NamedSharding):
-            base = base_leaves[i].spec
+        base = base_spec_of(base_leaves[i]) if base_leaves is not None else None
         if n_data == 1 or leaf.ndim == 0:
             out.append(NamedSharding(mesh, base if base is not None else P()))
         else:
@@ -83,6 +89,21 @@ def init_zero1_opt_state(tx, params: Any, mesh: Mesh,
     shardings = zero1_opt_state_shardings(tx, params, mesh, base_shardings)
     with jax.set_mesh(mesh):
         return jax.jit(tx.init, out_shardings=shardings)(params)
+
+
+def init_zero1_opt_state_tp(tx, params_sharded: Any, mesh: Mesh) -> Any:
+    """ZeRO-1 init composing with existing tensor-parallel param shardings.
+
+    First inits under jit so the moments inherit their parameters' TP specs
+    (as parallel/tp.py:shard_opt_state does), then layers 'data' onto a free
+    axis of every divisible leaf and re-places. Used by the dp x sp x tp x
+    ZeRO dry run (__graft_entry__.dryrun_multichip).
+    """
+    with jax.set_mesh(mesh):
+        opt0 = jax.jit(tx.init)(params_sharded)
+    shardings = zero1_opt_state_shardings(tx, params_sharded, mesh,
+                                          base_shardings=opt0)
+    return jax.device_put(opt0, shardings)
 
 
 def opt_state_bytes_per_device(opt_state: Any) -> int:
