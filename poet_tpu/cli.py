@@ -258,7 +258,13 @@ def main(cfg: PoETConfig):
 
     resume_payload = None
     if cfg.runtime.resume:
-        resume_payload, start_epoch = load_checkpoint(cfg.runtime.resume)
+        # orbax dir, reference zoo .pth/.npz, or a URL to either
+        # (parity: main.py:288-298 incl. https checkpoints)
+        from poet_tpu.engine.checkpoint import load_resume
+
+        resume_payload, start_epoch = load_resume(
+            cfg.runtime.resume, cfg.model.enc_layers, cfg.model.dec_layers,
+            cfg.model.nheads, cfg.model.aleatoric)
         params, missing, unexpected = merge_params(params, resume_payload["params"])
         if missing:
             print("Missing Keys:", missing)

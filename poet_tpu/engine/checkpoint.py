@@ -47,6 +47,61 @@ def checkpoint_paths_for_epoch(output_dir: str, epoch: int, cfg: PoETConfig):
     return names
 
 
+_URL_RE = None
+
+
+def fetch_checkpoint(path: str) -> str:
+    """Download a `--resume` URL into the local cache, else return the path.
+
+    Parity: the reference accepts https:// checkpoint URLs via
+    torch.hub.load_state_dict_from_url (main.py:288-290). Supports
+    https/http and file:// (the latter makes the path unit-testable with
+    zero egress). Cached by URL hash under ~/.cache/poet_tpu/checkpoints.
+    """
+    import re
+
+    global _URL_RE
+    if _URL_RE is None:
+        _URL_RE = re.compile(r"^(https?|file)://")
+    if not _URL_RE.match(path):
+        return path
+    import hashlib
+    import urllib.request
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "poet_tpu",
+                         "checkpoints")
+    os.makedirs(cache, exist_ok=True)
+    base = os.path.basename(path.split("?", 1)[0]) or "checkpoint"
+    dest = os.path.join(cache,
+                        hashlib.sha1(path.encode()).hexdigest()[:16] + "_" + base)
+    if not os.path.exists(dest):
+        urllib.request.urlretrieve(path, dest)
+    return dest
+
+
+def load_resume(path: str, enc_layers: int, dec_layers: int, nheads: int,
+                aleatoric: bool = False):
+    """`--resume` dispatcher: orbax dir, reference .pth/.pt/.npz zoo file, or
+    a URL to either file kind. Returns (payload, start_epoch).
+
+    Zoo files carry parameters only (no optimizer state), matching what a
+    reference model-zoo resume restores (main.py:288-298); training then
+    starts at epoch 0 with fresh optimizer state.
+    """
+    local = fetch_checkpoint(path)
+    if os.path.isfile(local) and local.endswith((".pth", ".pt", ".npz")):
+        from poet_tpu.utils.torch_import import (
+            assemble_poet_params,
+            load_state_dict_file,
+        )
+
+        sd = load_state_dict_file(local)
+        tree = assemble_poet_params(sd, enc_layers, dec_layers, nheads,
+                                    aleatoric)
+        return {"params": {"params": tree}}, 0
+    return load_checkpoint(local)
+
+
 def load_checkpoint(path: str, template=None):
     """Restore a checkpoint; returns (payload, start_epoch).
 

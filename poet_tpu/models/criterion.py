@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from poet_tpu.models.matcher import MatchResult
@@ -118,31 +119,40 @@ def compute_losses(
     rots = outputs["rotations"]
     n_layers = trans.shape[0]
 
+    # vmap over the stacked layer axis: one batched loss chain instead of
+    # n_layers chains of tiny (B, Q)-shaped kernels. Wall-time-neutral at
+    # bs=16 (the small fusions overlap with the backward) but 6x fewer
+    # dispatched kernels; numerics identical — vmap is exact.
+    if aleatoric:
+        lt_all = jax.vmap(lambda t, s: loss_translation_aleatoric(
+            t, s, targets["relative_position"], match))(
+                trans, outputs["translations_aleatoric"])
+        lr_all = jax.vmap(lambda r, s: loss_rotation_aleatoric(
+            r, s, targets["relative_rotation"], match))(
+                rots, outputs["rotations_aleatoric"])
+    elif rotation_mode == "6d":
+        lt_all = jax.vmap(lambda t: loss_translation(
+            t, targets["relative_position"], match))(trans)
+        lr_all = jax.vmap(lambda r: loss_rotation(
+            r, targets["relative_rotation"], match))(rots)
+    elif rotation_mode == "quat":
+        lt_all = jax.vmap(lambda t: loss_translation(
+            t, targets["relative_position"], match))(trans)
+        lr_all = jax.vmap(lambda r: loss_quaternion(
+            r, targets["relative_quaternions"], match))(rots)
+    elif rotation_mode == "silho_quat":
+        lt_all = jax.vmap(lambda t: loss_translation(
+            t, targets["relative_position"], match))(trans)
+        lr_all = jax.vmap(lambda r: loss_silho_quaternion(
+            r, targets["relative_quaternions"], match))(rots)
+    else:
+        raise NotImplementedError(rotation_mode)
+
     losses: Dict[str, jnp.ndarray] = {}
     for lvl in range(n_layers):
         suffix = "" if lvl == n_layers - 1 else f"_{lvl}"
-        if aleatoric:
-            lt = loss_translation_aleatoric(
-                trans[lvl], outputs["translations_aleatoric"][lvl],
-                targets["relative_position"], match,
-            )
-            lr = loss_rotation_aleatoric(
-                rots[lvl], outputs["rotations_aleatoric"][lvl],
-                targets["relative_rotation"], match,
-            )
-        elif rotation_mode == "6d":
-            lt = loss_translation(trans[lvl], targets["relative_position"], match)
-            lr = loss_rotation(rots[lvl], targets["relative_rotation"], match)
-        elif rotation_mode == "quat":
-            lt = loss_translation(trans[lvl], targets["relative_position"], match)
-            lr = loss_quaternion(rots[lvl], targets["relative_quaternions"], match)
-        elif rotation_mode == "silho_quat":
-            lt = loss_translation(trans[lvl], targets["relative_position"], match)
-            lr = loss_silho_quaternion(rots[lvl], targets["relative_quaternions"], match)
-        else:
-            raise NotImplementedError(rotation_mode)
-        losses[f"loss_trans{suffix}"] = lt
-        losses[f"loss_rot{suffix}"] = lr
+        losses[f"loss_trans{suffix}"] = lt_all[lvl]
+        losses[f"loss_rot{suffix}"] = lr_all[lvl]
     return losses
 
 

@@ -1,5 +1,6 @@
 """Checkpoint-import tests: mapping completeness + MHA numerical equivalence."""
 
+import os
 import numpy as np
 import pytest
 import torch
@@ -264,3 +265,40 @@ def test_zoo_checkpoint_converter_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         merged["params"]["backbone"]["fpn_body"]["body"]["conv1"]["kernel"],
         sd["backbone.0.backbone.body.conv1.weight"].transpose(2, 3, 1, 0))
+
+
+def test_resume_from_url_and_pth(tmp_path):
+    """--resume accepts a URL or a raw zoo .pth/.npz directly (parity:
+    main.py:288-290 https checkpoints; file:// keeps the test offline)."""
+    from poet_tpu.engine.checkpoint import fetch_checkpoint, load_resume
+
+    sd = _fake_poet_state_dict(C=64, heads=4, enc=2, dec=2, n_out=3)
+    npz = tmp_path / "poet_zoo.npz"
+    np.savez(npz, **sd)
+
+    # URL fetch lands in the cache, bytes intact
+    url = "file://" + str(npz)
+    local = fetch_checkpoint(url)
+    assert os.path.isfile(local) and local != str(npz)
+    assert open(local, "rb").read() == open(npz, "rb").read()
+    # cached: second fetch returns the same path without re-download
+    assert fetch_checkpoint(url) == local
+
+    # direct zoo-file resume: params-only payload, epoch 0
+    for src in (str(npz), url):
+        payload, start_epoch = load_resume(src, enc_layers=2, dec_layers=2,
+                                           nheads=4)
+        assert start_epoch == 0
+        assert "opt_state" not in payload
+        tree = payload["params"]["params"]
+        assert "transformer" in tree and "translation_head_0" in tree
+
+    # a raw .pth file routes through torch the same way
+    pth = tmp_path / "poet_zoo.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}}, pth)
+    payload, start_epoch = load_resume(str(pth), enc_layers=2, dec_layers=2,
+                                       nheads=4)
+    assert start_epoch == 0 and "transformer" in payload["params"]["params"]
+
+    # non-URL, non-file paths pass through untouched
+    assert fetch_checkpoint("/some/orbax/dir") == "/some/orbax/dir"
