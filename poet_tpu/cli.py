@@ -48,6 +48,10 @@ def get_args_parser():
     p.add_argument("--backbone_conf_thresh", default=0.4, type=float)
     p.add_argument("--backbone_iou_thresh", default=0.5, type=float)
     p.add_argument("--backbone_agnostic_nms", action="store_true")
+    p.add_argument("--encoder_min_stride", default=1, type=int,
+                   help="drop backbone feature maps finer than this stride "
+                        "from the transformer input (extension; detections "
+                        "keep every scale; 1 = reference behavior)")
     p.add_argument("--position_embedding", default="sine", type=str,
                    choices=("sine", "learned"))
     p.add_argument("--position_embedding_scale", default=2 * math.pi, type=float)
@@ -149,6 +153,7 @@ def args_to_config(args) -> PoETConfig:
     b.conf_thresh = args.backbone_conf_thresh
     b.iou_thresh = args.backbone_iou_thresh
     b.agnostic_nms = args.backbone_agnostic_nms
+    b.encoder_min_stride = args.encoder_min_stride
     b.position_embedding = args.position_embedding
     b.position_embedding_scale = args.position_embedding_scale
     for k in ("bbox_mode", "reference_points", "query_embedding",

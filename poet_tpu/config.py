@@ -56,6 +56,14 @@ class BackboneConfig:
     # configures (backbone_maskrcnn.py:34-35 vs :59-125).
     anchor_sizes: Optional[Tuple[Tuple[int, ...], ...]] = None
     input_resize: Optional[Tuple[int, int]] = None
+    # TPU-first option (extension): drop backbone feature maps finer than
+    # this stride from the TRANSFORMER input (the detection head still uses
+    # every scale). The encoder's sampling cost is quadratic in token count
+    # (README roofline analysis), so the yolov4 path's stride-8 map (4x the
+    # tokens) costs ~16x the encoder compute of the rcnn pyramid; setting 16
+    # here gives an rcnn-sized encoder on yolo features. Default 1 = keep
+    # every map (reference behavior).
+    encoder_min_stride: int = 1
 
 
 @dataclass

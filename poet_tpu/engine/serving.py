@@ -139,3 +139,123 @@ class PoseServer:
             "fps": float(self.batch_size / np.mean(arr) * 1e3),
             "frames": len(arr),
         }
+
+
+# ---------------------------------------------------------------------------
+# Portable export — the "engine file" of the TensorRT deployment analogy.
+# ---------------------------------------------------------------------------
+
+def export_model(cfg: PoETConfig, params, path: str, batch_size: int = 1,
+                 image_size=(480, 640), platforms=("cpu", "tpu")):
+    """Serialize the fixed-shape inference function to a self-contained
+    on-disk artifact: StableHLO bytes (`jax.export`) + weights (orbax) +
+    a config echo.
+
+    Where the reference's deployment ships a TensorRT engine built from the
+    model (README.md:35), this ships a compiler-portable serialized program:
+    `load_exported(path)` runs it WITHOUT importing any model code —
+    multi-platform lowered (cpu + tpu by default), so one artifact serves
+    both a dev box and the accelerator fleet.
+    """
+    import json
+    import os
+
+    from jax import export as jax_export
+
+    import orbax.checkpoint as ocp
+
+    model = build_model(cfg)
+    B, (H, W) = batch_size, tuple(image_size)
+    Q = cfg.model.num_queries
+    img_spec = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
+    mask_spec = jax.ShapeDtypeStruct((B, H, W), jnp.bool_)
+
+    def outputs(out):
+        res = {
+            "translation": out["translations"][-1],
+            "rotation": out["rotations"][-1],
+            "boxes": out["pred_boxes"],
+            "classes": out["pred_classes"],
+            "n_boxes": out["n_boxes"],
+        }
+        if cfg.model.aleatoric:
+            res["translation_var"] = jnp.exp(out["translations_aleatoric"][-1])
+            res["rotation_var"] = jnp.exp(out["rotations_aleatoric"][-1])
+        return res
+
+    if cfg.model.bbox_mode == "backbone":
+        def fwd(params, images, pad_mask):
+            return outputs(model.apply(params, images, pad_mask, None,
+                                       deterministic=True))
+
+        specs = (params, img_spec, mask_spec)
+    else:
+        tgt_spec = {
+            "boxes": jax.ShapeDtypeStruct((B, Q, 4), jnp.float32),
+            "labels": jax.ShapeDtypeStruct((B, Q), jnp.int32),
+            "n_boxes": jax.ShapeDtypeStruct((B,), jnp.int32),
+        }
+
+        def fwd(params, images, pad_mask, targets):
+            return outputs(model.apply(params, images, pad_mask, targets,
+                                       deterministic=True))
+
+        specs = (params, img_spec, mask_spec, tgt_spec)
+
+    exported = jax_export.export(jax.jit(fwd), platforms=list(platforms))(*specs)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "module.bin"), "wb") as f:
+        f.write(exported.serialize())
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(os.path.join(path, "params")),
+        jax.device_get(params), force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({
+            "batch_size": B, "image_size": [H, W],
+            "bbox_mode": cfg.model.bbox_mode,
+            "num_queries": Q, "platforms": list(platforms),
+        }, f)
+    return path
+
+
+class ExportedPoseServer:
+    """Run an `export_model` artifact — no model code needed at load time."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        from jax import export as jax_export
+
+        import orbax.checkpoint as ocp
+
+        self.meta = json.load(open(os.path.join(path, "meta.json")))
+        self._exported = jax_export.deserialize(
+            open(os.path.join(path, "module.bin"), "rb").read())
+        self.params = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(os.path.join(path, "params")))
+        self._call = jax.jit(self._exported.call)
+
+    def infer(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
+              labels: Optional[np.ndarray] = None,
+              n_boxes: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        B = self.meta["batch_size"]
+        H, W = self.meta["image_size"]
+        Q = self.meta["num_queries"]
+        assert images.shape == (B, H, W, 3), images.shape
+        pad_mask = jnp.zeros((B, H, W), jnp.bool_)
+        img = jnp.asarray(images, jnp.float32)
+        if self.meta["bbox_mode"] == "backbone":
+            out = self._call(self.params, img, pad_mask)
+        else:
+            assert boxes is not None, "tracker mode needs boxes"
+            targets = {
+                "boxes": jnp.asarray(boxes, jnp.float32),
+                "labels": jnp.asarray(
+                    labels if labels is not None else np.ones((B, Q)), jnp.int32),
+                "n_boxes": jnp.asarray(
+                    n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
+            }
+            out = self._call(self.params, img, pad_mask, targets)
+        return {k: np.asarray(v) for k, v in out.items()}

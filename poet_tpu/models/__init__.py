@@ -74,6 +74,7 @@ def build_model(cfg: PoETConfig) -> PoET:
             iou_thresh=cfg.backbone.iou_thresh,
             agnostic_nms=cfg.backbone.agnostic_nms,
             max_detections=cfg.backbone.max_detections,
+            encoder_min_stride=cfg.backbone.encoder_min_stride,
             dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
         )
     else:

@@ -192,6 +192,10 @@ class YOLOv4Backbone(nn.Module):
     max_detections: int = 100
     pre_nms: int = 512
     train_backbone: bool = False
+    # Feature maps with stride < encoder_min_stride are decoded for
+    # detections but NOT returned as transformer inputs (TPU-first option;
+    # see BackboneConfig.encoder_min_stride). 1 = reference behavior.
+    encoder_min_stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -246,6 +250,10 @@ class YOLOv4Backbone(nn.Module):
             }
 
         detections = jax.vmap(detect_one)(boxes, best_score, best_cls)
+        if self.encoder_min_stride > 1:
+            features = [f for f in features
+                        if img_h // f.shape[1] >= self.encoder_min_stride]
+            assert features, "encoder_min_stride dropped every feature map"
         masks = [downsample_mask(pad_mask, f.shape[1:3]) for f in features]
         return features, masks, detections
 

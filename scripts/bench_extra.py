@@ -145,6 +145,9 @@ def bench_yolov4():
     cfg.backbone.name = "yolov4"
     cfg.backbone.cfg_path = YOLO_CFG
     cfg.backbone.max_detections = 20
+    # YOLO_ENC_MIN_STRIDE=16 benches the TPU-first trimmed-encoder option
+    # (BackboneConfig.encoder_min_stride); default 1 = reference pyramid.
+    cfg.backbone.encoder_min_stride = int(os.environ.get("YOLO_ENC_MIN_STRIDE", 1))
     cfg.model.bbox_mode = "backbone"
     cfg.model.n_classes = 21
     model = build_model(cfg)

@@ -47,3 +47,31 @@ def test_detector_mode_server_aleatoric(rng):
     out = server.infer(np.asarray(images[:1]))
     assert out["translation"].shape == (1, 5, 3)
     assert "translation_var" in out and (out["translation_var"] > 0).all()
+
+
+def test_export_roundtrip(rng, tmp_path):
+    """export_model artifact reloads (deserialize path) and matches the live
+    model's outputs (up to recompilation fusion order); no model code
+    consulted at load time."""
+    from poet_tpu.engine.serving import ExportedPoseServer, export_model
+    from poet_tpu.models import build_model
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=2, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+
+    path = export_model(cfg, params, str(tmp_path / "engine"), batch_size=2,
+                        image_size=(64, 64), platforms=("cpu",))
+    import os
+    assert os.path.exists(os.path.join(path, "module.bin"))
+
+    server = ExportedPoseServer(path)
+    out = server.infer(np.asarray(images), boxes=np.asarray(targets["boxes"]),
+                       labels=np.asarray(targets["labels"]),
+                       n_boxes=np.asarray(targets["n_boxes"]))
+    ref = model.apply(params, images, pad_mask, targets, deterministic=True)
+    np.testing.assert_allclose(out["translation"],
+                               np.asarray(ref["translations"][-1]), atol=1e-5)
+    np.testing.assert_allclose(out["rotation"],
+                               np.asarray(ref["rotations"][-1]), atol=1e-5)

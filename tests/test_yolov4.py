@@ -215,3 +215,28 @@ def test_poet_with_yolov4_backbone(rng):
         out = model.apply(params, images, pad_mask, targets)
         assert out["translations"].shape == (2, 2, 5, 3)
         assert np.isfinite(np.asarray(out["translations"])).all()
+
+
+def test_encoder_min_stride_drops_fine_maps(rng):
+    """encoder_min_stride trims transformer inputs but leaves detections
+    untouched (TPU-first extension; BackboneConfig.encoder_min_stride)."""
+    sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
+    images = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((2, 64, 64), bool)
+
+    bb_all = YOLOv4Backbone(sections, conf_thresh=0.2, max_detections=5, pre_nms=64)
+    params = bb_all.init(jax.random.PRNGKey(0), images, pad_mask)
+    f_all, m_all, d_all = bb_all.apply(params, images, pad_mask)
+    strides = [64 // f.shape[1] for f in f_all]
+    cut = max(strides)  # keep only the coarsest map
+
+    bb_cut = YOLOv4Backbone(sections, conf_thresh=0.2, max_detections=5,
+                            pre_nms=64, encoder_min_stride=cut)
+    f_cut, m_cut, d_cut = bb_cut.apply(params, images, pad_mask)
+
+    assert len(f_cut) == sum(1 for s in strides if s >= cut)
+    assert len(f_cut) < len(f_all)
+    assert len(m_cut) == len(f_cut)
+    assert all(64 // f.shape[1] >= cut for f in f_cut)
+    for k in d_all:
+        np.testing.assert_array_equal(np.asarray(d_all[k]), np.asarray(d_cut[k]))
