@@ -62,7 +62,8 @@ class BackboneConfig:
     # (README roofline analysis), so the yolov4 path's stride-8 map (4x the
     # tokens) costs ~16x the encoder compute of the rcnn pyramid; setting 16
     # here gives an rcnn-sized encoder on yolo features. Default 1 = keep
-    # every map (reference behavior).
+    # every map (reference behavior). Honored by the yolov4 backbone; the
+    # rcnn path already emits strides 16/32/64 only (FPN level pruning).
     encoder_min_stride: int = 1
 
 
