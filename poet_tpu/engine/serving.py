@@ -233,8 +233,12 @@ class ExportedPoseServer:
         self.meta = json.load(open(os.path.join(path, "meta.json")))
         self._exported = jax_export.deserialize(
             open(os.path.join(path, "module.bin"), "rb").read())
-        self.params = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(os.path.join(path, "params")))
+        # Place weights on device ONCE: orbax restores host numpy arrays,
+        # and leaving them host-side made every infer() re-transfer the full
+        # param tree (measured ~2.9 s/frame p50 through the relay vs 219 ms
+        # with device-resident weights).
+        self.params = jax.device_put(ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(os.path.join(path, "params"))))
         self._call = jax.jit(self._exported.call)
 
     def infer(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
