@@ -16,6 +16,24 @@ from typing import Dict, Iterable
 import numpy as np
 
 
+def _device_peak_mem_mb():
+    """Peak device memory in MB, if the backend reports it.
+
+    Parity: the reference prints torch.cuda.max_memory_allocated in every
+    MetricLogger line (util/misc.py:250,274). TPU/CPU backends expose
+    `memory_stats()['peak_bytes_in_use']`; returns None where unsupported
+    (the line then omits the field rather than lying).
+    """
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") if stats else None
+        return peak / (1024 * 1024) if peak else None
+    except Exception:
+        return None
+
+
 class SmoothedValue:
     """Windowed median/avg meter. Parity: util/misc.py:66-125."""
 
@@ -106,12 +124,15 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0 or (total is not None and i == total - 1):
+                mem = _device_peak_mem_mb()
+                mem_s = f" max mem: {mem:.0f}MB" if mem is not None else ""
                 if total:
                     eta = str(datetime.timedelta(seconds=int(iter_time.global_avg * (total - i))))
                     print(f"{header} [{i}/{total}] eta: {eta} {self} "
-                          f"time: {iter_time} data: {data_time}")
+                          f"time: {iter_time} data: {data_time}{mem_s}")
                 else:
-                    print(f"{header} [{i}] {self} time: {iter_time} data: {data_time}")
+                    print(f"{header} [{i}] {self} time: {iter_time} "
+                          f"data: {data_time}{mem_s}")
             i += 1
             end = time.time()
         total_time = time.time() - start_time
