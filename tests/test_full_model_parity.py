@@ -32,8 +32,16 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference tree not mounted"
 )
 
-# geometry of the tiny parity model
-HID, HEADS, ENC, DEC, FFN = 64, 4, 2, 2, 128
+# geometry of the parity models: a fast tiny config plus the exact paper
+# transformer dimensions (main.py:86-101 defaults — hidden 256, 16 heads,
+# 5 enc / 5 dec, FFN 1024) over small feature maps so the torch-CPU side
+# stays tractable. The paper-dims case exercises the real 16-way head
+# packing and 5-layer error accumulation end-to-end.
+DIM_CONFIGS = {
+    "tiny": dict(HID=64, HEADS=4, ENC=2, DEC=2, FFN=128),
+    "paper_dims": dict(HID=256, HEADS=16, ENC=5, DEC=5, FFN=1024),
+}
+HID, HEADS, ENC, DEC, FFN = 64, 4, 2, 2, 128   # rebound per-fixture-param
 Q, NCLS, LEVELS = 5, 4, 4
 FEAT_SHAPES = ((8, 10), (4, 5), (2, 3))     # backbone levels (strides 16/32/64)
 IMG_H, IMG_W = 128, 160
@@ -196,10 +204,14 @@ def _load_reference_poet():
     return pet, dt, pe, NestedTensor
 
 
-@pytest.fixture(scope="module")
-def parity_setup():
+@pytest.fixture(scope="module", params=["tiny", "paper_dims"])
+def parity_setup(request):
     import torch
     from torch import nn
+
+    # rebind the geometry globals for this parametrization (the module-scope
+    # fixture runs once per param; tests under it read the same globals)
+    globals().update(DIM_CONFIGS[request.param])
 
     pet, dt, pe, NestedTensor = _load_reference_poet()
     rng = np.random.default_rng(7)
