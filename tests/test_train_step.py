@@ -198,3 +198,43 @@ def test_gradient_accumulation(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_zero_boxes_batch_stays_finite(setup):
+    """A batch where every image has ZERO ground-truth boxes (legal after the
+    degenerate-box filter) must produce a finite loss and finite gradients —
+    the max(n_matched, 1) normalization plus masked gathers may not leak NaN
+    through the where-gradient trap."""
+    cfg, model, (images, pad_mask, targets) = setup
+    import copy
+
+    t0 = {k: np.array(v) for k, v in targets.items()}
+    Q = t0["boxes"].shape[1]
+    t0["boxes"][:] = -1.0
+    t0["labels"][:] = -1
+    t0["n_boxes"][:] = 0
+    t_zero = {k: jnp.asarray(v) for k, v in t0.items()}
+
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    cfgz = copy.deepcopy(cfg)
+    tx = make_optimizer(cfgz, params, steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, cfgz, tx, donate=False)
+
+    new_state, metrics = step(state, images, pad_mask, t_zero,
+                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"])), metrics["loss"]
+    assert np.isfinite(float(metrics["grad_norm"])), metrics["grad_norm"]
+    for path, leaf in jax.tree_util.tree_leaves_with_path(new_state.params):
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(path)
+
+    # mixed batch: first image empty, rest unchanged
+    t1 = {k: np.array(v) for k, v in targets.items()}
+    t1["boxes"][0] = -1.0
+    t1["labels"][0] = -1
+    t1["n_boxes"][0] = 0
+    t_mixed = {k: jnp.asarray(v) for k, v in t1.items()}
+    _, metrics2 = step(state, images, pad_mask, t_mixed, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert np.isfinite(float(metrics2["grad_norm"]))
