@@ -128,6 +128,69 @@ class PoseServer:
         self._latencies.append(time.perf_counter() - t0)
         return host
 
+    def infer_async(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
+                    labels: Optional[np.ndarray] = None,
+                    n_boxes: Optional[np.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Dispatch one frame WITHOUT reading the result back.
+
+        JAX dispatch is asynchronous: this returns device arrays immediately
+        while the device computes, so a caller can overlap the next frame's
+        preprocessing/IO with this frame's compute (video-rate pipelining).
+        Call `fetch` on the returned dict to materialize host arrays.
+        """
+        B, (H, W) = self.batch_size, self.image_size
+        assert images.shape == (B, H, W, 3), images.shape
+        pad_mask = jnp.zeros((B, H, W), jnp.bool_)
+        img = jnp.asarray(images)
+        if self._needs_boxes:
+            Q = self.cfg.model.num_queries
+            assert boxes is not None, "tracker mode needs boxes (cxcywh, normalized)"
+            targets = {
+                "boxes": jnp.asarray(boxes, jnp.float32),
+                "labels": jnp.asarray(
+                    labels if labels is not None else np.ones((B, Q)), jnp.int32),
+                "n_boxes": jnp.asarray(
+                    n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
+            }
+            return self._fn(self.params, img, pad_mask, targets)
+        return self._fn(self.params, img, pad_mask)
+
+    @staticmethod
+    def fetch(out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+        """Materialize an `infer_async` result on the host (blocks)."""
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def stream(self, frames, boxes_fn=None):
+        """Streaming driver over an iterable of (B, H, W, 3) frames.
+
+        Detector mode: PIPELINED — frame k+1 is dispatched before frame k's
+        result is read back, overlapping the next frame's host work with the
+        device compute (async JAX dispatch does the buffering).
+
+        Tracker mode (boxes_fn given): SERIAL by necessity — boxes_fn is
+        called with the PREVIOUS host result (None for the first frame) and
+        returns (boxes, labels, n_boxes) for the next dispatch, e.g. an EKF
+        predictor feeding refined boxes back in, the reference's deployment
+        pattern (README.md:35-36). The feedback edge makes frame k+1 depend
+        on frame k's output, so there is nothing to overlap.
+        """
+        if self._needs_boxes:
+            prev_host = None
+            for frame in frames:
+                b, l, n = boxes_fn(prev_host)
+                prev_host = self.fetch(
+                    self.infer_async(frame, boxes=b, labels=l, n_boxes=n))
+                yield prev_host
+            return
+        pending = None
+        for frame in frames:
+            nxt = self.infer_async(frame)
+            if pending is not None:
+                yield self.fetch(pending)
+            pending = nxt
+        if pending is not None:
+            yield self.fetch(pending)
+
     def latency_stats(self) -> Dict[str, float]:
         if not self._latencies:
             return {}

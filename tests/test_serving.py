@@ -48,6 +48,16 @@ def test_detector_mode_server_aleatoric(rng):
     assert out["translation"].shape == (1, 5, 3)
     assert "translation_var" in out and (out["translation_var"] > 0).all()
 
+    # detector-mode stream(): pipelined branch, one result per frame, equal
+    # to the synchronous path
+    frames = [np.asarray(images[:1]) * s for s in (1.0, 0.9, 0.8)]
+    streamed = list(server.stream(frames))
+    assert len(streamed) == 3
+    for frame, got in zip(frames, streamed):
+        ref = server.infer(frame)
+        np.testing.assert_allclose(got["translation"], ref["translation"],
+                                   atol=1e-6)
+
 
 def test_export_roundtrip(rng, tmp_path):
     """export_model artifact reloads (deserialize path) and matches the live
@@ -75,3 +85,40 @@ def test_export_roundtrip(rng, tmp_path):
                                np.asarray(ref["translations"][-1]), atol=1e-5)
     np.testing.assert_allclose(out["rotation"],
                                np.asarray(ref["rotations"][-1]), atol=1e-5)
+
+
+def test_streaming_pipeline(rng):
+    """stream() yields one result per frame, matching synchronous infer, with
+    tracker-mode boxes fed back by the caller (EKF-predictor pattern)."""
+    from poet_tpu.engine.serving import PoseServer
+    from poet_tpu.models import build_model
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=2, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    server = PoseServer(cfg, params, batch_size=2, image_size=(64, 64))
+
+    frames = [np.asarray(images) * s for s in (1.0, 0.9, 0.8)]
+    b = np.asarray(targets["boxes"])
+    l = np.asarray(targets["labels"])
+    n = np.asarray(targets["n_boxes"])
+    calls = []
+
+    def boxes_fn(prev_host):
+        calls.append(prev_host is not None)
+        return b, l, n
+
+    streamed = list(server.stream(frames, boxes_fn=boxes_fn))
+    assert len(streamed) == len(frames)
+    # first call sees no previous result; later calls do (pipeline feedback)
+    assert calls == [False, True, True]
+    for frame, out in zip(frames, streamed):
+        ref = server.infer(frame, boxes=b, labels=l, n_boxes=n)
+        np.testing.assert_allclose(out["translation"], ref["translation"],
+                                   atol=1e-6)
+
+    # async dispatch + fetch equals sync infer
+    a = server.fetch(server.infer_async(frames[0], boxes=b, labels=l, n_boxes=n))
+    s = server.infer(frames[0], boxes=b, labels=l, n_boxes=n)
+    np.testing.assert_allclose(a["rotation"], s["rotation"], atol=1e-6)
