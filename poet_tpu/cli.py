@@ -131,6 +131,9 @@ def get_args_parser():
     p.add_argument("--zero_opt_state", action="store_true",
                    help="ZeRO-1: shard AdamW moments across the data axis "
                         "(extension; params stay replicated)")
+    p.add_argument("--mu_bf16", action="store_true",
+                   help="bfloat16 AdamW first moment (extension; halves its "
+                        "memory, second moment stays f32)")
     p.add_argument("--dtype", default="float32", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
@@ -143,7 +146,7 @@ def args_to_config(args) -> PoETConfig:
                                cfg.loss, cfg.data, cfg.eval, cfg.runtime)
     for k in ("lr", "lr_backbone", "lr_linear_proj_mult", "batch_size",
               "eval_batch_size", "weight_decay", "epochs", "lr_drop",
-              "clip_max_norm", "sgd", "grad_accum_steps"):
+              "clip_max_norm", "sgd", "grad_accum_steps", "mu_bf16"):
         setattr(o, k, getattr(args, k))
     o.lr_backbone_names = tuple(args.lr_backbone_names)
     o.lr_linear_proj_names = tuple(args.lr_linear_proj_names)

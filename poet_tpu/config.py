@@ -34,6 +34,9 @@ class OptimConfig:
     # over N micro-batches before each optimizer update (optax.MultiSteps) —
     # effective batch = batch_size * grad_accum_steps at constant HBM.
     grad_accum_steps: int = 1
+    # Extension: keep the AdamW FIRST moment in bfloat16 (optax mu_dtype) —
+    # halves its memory; the second moment stays f32. Composes with ZeRO-1.
+    mu_bf16: bool = False
 
 
 @dataclass

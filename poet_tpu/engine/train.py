@@ -85,7 +85,13 @@ def make_optimizer(cfg: PoETConfig, params, steps_per_epoch: int) -> optax.Gradi
                 optax.sgd(learning_rate=sched, momentum=0.9),
             )
         else:
-            inner = optax.adamw(learning_rate=sched, weight_decay=o.weight_decay)
+            inner = optax.adamw(
+                learning_rate=sched, weight_decay=o.weight_decay,
+                # Extension: bf16 first moment halves its memory (the second
+                # moment stays f32 — its dynamic range drives the update
+                # scale). Composes with ZeRO-1 sharding (parallel/zero.py).
+                mu_dtype=jnp.bfloat16 if o.mu_bf16 else None,
+            )
         return inner
 
     transforms = {

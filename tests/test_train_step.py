@@ -238,3 +238,41 @@ def test_zero_boxes_batch_stays_finite(setup):
     _, metrics2 = step(state, images, pad_mask, t_mixed, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics2["loss"]))
     assert np.isfinite(float(metrics2["grad_norm"]))
+
+
+def test_mu_bf16_moments(setup):
+    """--mu_bf16 keeps the AdamW first moment in bfloat16 (half memory) while
+    training still converges on a fixed batch."""
+    cfg, model, (images, pad_mask, targets) = setup
+    import copy
+
+    cfgm = copy.deepcopy(cfg)
+    cfgm.optim.mu_bf16 = True
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfgm, params, steps_per_epoch=10)
+    opt_state = tx.init(params)
+
+    mu_dtypes = set()
+    def walk(t):
+        if hasattr(t, "mu"):
+            for leaf in jax.tree_util.tree_leaves(t.mu):
+                mu_dtypes.add(leaf.dtype)
+        if isinstance(t, (tuple, list)):
+            for s in t:
+                walk(s)
+        elif isinstance(t, dict):
+            for s in t.values():
+                walk(s)
+    walk(opt_state)
+    assert jnp.dtype(jnp.bfloat16) in mu_dtypes, mu_dtypes
+
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, cfgm, tx, donate=False)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, images, pad_mask, targets,
+                              jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
