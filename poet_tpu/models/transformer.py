@@ -27,6 +27,7 @@ from poet_tpu.ops.deform_attn import (
     ms_deform_attn_mxu,
     ms_deform_attn_patch,
     ms_deform_attn_sep,
+    ms_deform_attn_sep_cv,
     ms_deform_attn_xla,
 )
 from poet_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
@@ -119,6 +120,13 @@ class MSDeformAttn(nn.Module):
                 "mxu": ms_deform_attn_mxu,
                 "patch": ms_deform_attn_patch,
                 "sep": ms_deform_attn_sep,
+                # hand-derived separable backward: grad-exact but measured
+                # 3.8x SLOWER in the full train step (its T = dout·V adjoint
+                # contracts over K=D=16 at 12.5% MXU utilization; autodiff's
+                # g-based transposes have better contraction shapes). Kept as
+                # an option + documented negative result — see
+                # ops/deform_attn.py:_sep_cv_bwd.
+                "sep_cv": ms_deform_attn_sep_cv,
                 "gather": ms_deform_attn_xla,
             }[self.impl]
             out = core(value, tuple(spatial_shapes), locations, attn)

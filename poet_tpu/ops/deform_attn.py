@@ -21,8 +21,10 @@ A fused Pallas TPU kernel lives in `poet_tpu.ops.deform_attn_pallas`.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -475,3 +477,189 @@ def ms_deform_attn_sep(
         out = lax.map(chunk_fn, (loc_c, attn_c))
     out = out.transpose(1, 0, 2, 3, 4).reshape(B, Q_pad, H, D)
     return out[:, :Q].reshape(B, Q, H * D).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# sep with a hand-derived backward — the separability trick applied to the
+# adjoint.
+# ---------------------------------------------------------------------------
+
+def _sep_onehot_factors(loc, attn, Hl, Wl):
+    """Recompute the per-level one-hot factors of the sep forward.
+
+    Returns (bx, wy, ay, aux) with
+      bx (B, Q, H, P, Wl): x-interpolation operator incl. OOB masking,
+      wy (B, Q, H, P, Hl): y-interpolation operator WITHOUT attention,
+      ay = wy * attn,
+      aux = (dbx_dtx, dwy_dty): masked one-hot DIFFERENCES used by the
+      backward (d bx / d tx and d wy / d ty).
+    """
+    f32 = jnp.float32
+    x = loc[..., 0].astype(f32) * Wl - 0.5
+    y = loc[..., 1].astype(f32) * Hl - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    iota_x = jnp.arange(Wl, dtype=jnp.int32)
+    iota_y = jnp.arange(Hl, dtype=jnp.int32)
+    # masked one-hots: an out-of-map corner index matches no iota slot, so
+    # its weight is implicitly zero — identical zero-padding semantics to
+    # ms_deform_attn_sep / _xla.
+    oh_x0 = (x0i[..., None] == iota_x).astype(f32)
+    oh_x1 = ((x0i + 1)[..., None] == iota_x).astype(f32)
+    oh_y0 = (y0i[..., None] == iota_y).astype(f32)
+    oh_y1 = ((y0i + 1)[..., None] == iota_y).astype(f32)
+
+    bx = oh_x0 * (1.0 - tx)[..., None] + oh_x1 * tx[..., None]
+    wy = oh_y0 * (1.0 - ty)[..., None] + oh_y1 * ty[..., None]
+    ay = wy * attn[..., None].astype(f32)
+    return bx, wy, ay, (oh_x1 - oh_x0, oh_y1 - oh_y0)
+
+
+def _sep_cv_fwd(value, spatial_shapes, sampling_locations, attention_weights,
+                q_chunk):
+    out = ms_deform_attn_sep(value, spatial_shapes, sampling_locations,
+                             attention_weights, q_chunk=q_chunk)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _sep_cv_bwd(spatial_shapes, q_chunk, res, dout):
+    """Adjoint of multi-scale deformable sampling, separably.
+
+    Autodiff of the sep forward routes every input cotangent through the
+    (B, Q, H, P, Hl, D) intermediate `g` — three O(Q·P·S·D) einsums plus a
+    layout-transposed 2.5 GB copy of g per encoder layer (measured; see
+    README). The same separability that collapses the forward collapses the
+    adjoint instead through two SMALL intermediates per level:
+
+        T[q, y, x]  = Σ_d dout[q, d] · V[y, x, d]          (O(Q·S·D))
+        W2[q, y, x] = Σ_p ay[q, p, y] · bx[q, p, x]        (O(Q·P·S), no D)
+
+        d_V   = Σ_q W2 · dout                              (O(Q·S·D))
+        U     = Σ_x T · (oh(x0+1) − oh(x0))   → d_tx = Σ_y ay · U
+        R     = Σ_x T · bx                    → d_ty = Σ_y attn·Δoh_y · R
+                                                d_attn = Σ_y wy · R
+    Total ≈ 2·Q·S·D + 3·Q·P·S MACs — ~6× fewer than the autodiff path, and
+    nothing of size Q·P·S·D exists. d_loc folds the level normalizer
+    (∂x/∂loc_x = Wl); floor() contributes zero gradient, exactly like
+    autodiff.
+
+    MEASURED NEGATIVE RESULT (2026-08-17, v5e, bs=16 paper config): the
+    MAC-count win does not survive contact with the MXU — T's d-contraction
+    has K = D = 16 (12.5% utilization) and d_value's q-contraction feeds a
+    (B,Q,H,Hl,Wl) operand pair, so the full train step measured 681 ms vs
+    180 ms with autodiff's backward, whose transposed einsums have better
+    contraction shapes (K = Wl or Hl·D). There is no associativity order of
+    this adjoint in which every contraction is MXU-shaped. Kept as
+    `enc_impl='sep_cv'` with exact-gradient tests — the analysis is the
+    deliverable.
+    """
+    value, sampling_locations, attention_weights = res
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    f32 = jnp.float32
+    dtype = value.dtype
+
+    dout = dout.reshape(B, Q, H, D)
+
+    # per-level value views (B, H, Hl, Wl, D), as in the forward
+    value_ls = []
+    start = 0
+    for Hl, Wl in spatial_shapes:
+        v = value[:, start: start + Hl * Wl].reshape(B, Hl, Wl, H, D)
+        start += Hl * Wl
+        value_ls.append(v.transpose(0, 3, 1, 2, 4))
+
+    qc = min(q_chunk, Q)
+    Q_pad = ((Q + qc - 1) // qc) * qc
+    locs, attn = sampling_locations, attention_weights
+    dout_p = dout
+    if Q_pad != Q:
+        pad = Q_pad - Q
+        locs = jnp.pad(locs, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)),
+                       constant_values=-10.0)
+        attn = jnp.pad(attn, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        dout_p = jnp.pad(dout, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_chunks = Q_pad // qc
+
+    loc_c = locs.reshape(B, n_chunks, qc, H, L, P, 2).transpose(1, 4, 0, 2, 3, 5, 6)
+    attn_c = attn.reshape(B, n_chunks, qc, H, L, P).transpose(1, 4, 0, 2, 3, 5)
+    dout_c = dout_p.reshape(B, n_chunks, qc, H, D).transpose(1, 0, 2, 3, 4)
+
+    def chunk_bwd(args):
+        loc_all, attn_all, do = args          # (L, B, qc, H, P, *), (B, qc, H, D)
+        d_value_parts = []
+        d_loc_parts = []
+        d_attn_parts = []
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+            loc = loc_all[lvl]
+            a = attn_all[lvl]
+            bx, wy, ay, (dbx, dwy) = _sep_onehot_factors(loc, a, Hl, Wl)
+            v_l = value_ls[lvl]               # (B, H, Hl, Wl, D)
+
+            # T: contraction over d — bf16 inputs, f32 accumulate, bf16 store
+            T = jnp.einsum("bqhd,bhyxd->bqhyx", do.astype(dtype), v_l,
+                           preferred_element_type=f32).astype(dtype)
+            # W2: p-folded sampling weights (K = P = 4; XLA fuses)
+            W2 = jnp.einsum("bqhpy,bqhpx->bqhyx", ay.astype(dtype),
+                            bx.astype(dtype), preferred_element_type=f32)
+            # d_value: contraction over q
+            dv = jnp.einsum("bqhyx,bqhd->bhyxd", W2.astype(dtype),
+                            do.astype(dtype), preferred_element_type=f32)
+            d_value_parts.append(dv)
+
+            U = jnp.einsum("bqhyx,bqhpx->bqhpy", T, dbx.astype(dtype),
+                           preferred_element_type=f32)
+            R = jnp.einsum("bqhyx,bqhpx->bqhpy", T, bx.astype(dtype),
+                           preferred_element_type=f32)
+            d_tx = jnp.sum(ay * U, axis=-1)                   # (B, qc, H, P)
+            d_ty = jnp.sum((a[..., None].astype(f32) * dwy) * R, axis=-1)
+            d_attn_l = jnp.sum(wy * R, axis=-1)
+            # x = loc_x * Wl - 0.5 → ∂/∂loc_x = Wl (floor() has zero grad)
+            d_loc_l = jnp.stack([d_tx * Wl, d_ty * Hl], axis=-1)
+            d_loc_parts.append(d_loc_l)
+            d_attn_parts.append(d_attn_l)
+        return (d_value_parts, jnp.stack(d_loc_parts, axis=3),
+                jnp.stack(d_attn_parts, axis=3))
+
+    if n_chunks == 1:
+        dv_parts, d_loc, d_attn = chunk_bwd((loc_c[0], attn_c[0], dout_c[0]))
+        dv_parts = [p[None] for p in dv_parts]
+        d_loc, d_attn = d_loc[None], d_attn[None]
+    else:
+        dv_parts, d_loc, d_attn = lax.map(chunk_bwd, (loc_c, attn_c, dout_c))
+
+    # d_value: sum chunk contributions, back to (B, S, H, D) flat layout
+    d_value = jnp.concatenate(
+        [p.sum(axis=0).transpose(0, 2, 3, 1, 4).reshape(B, -1, H, D)
+         for p in dv_parts], axis=1).astype(dtype)
+    # d_loc / d_attn: (n_chunks, B, qc, H, L, P[, 2]) → (B, Q, H, L, P[, 2])
+    d_loc = d_loc.transpose(1, 0, 2, 3, 4, 5, 6).reshape(B, Q_pad, H, L, P, 2)
+    d_attn = d_attn.transpose(1, 0, 2, 3, 4, 5).reshape(B, Q_pad, H, L, P)
+    d_loc = d_loc[:, :Q].astype(sampling_locations.dtype)
+    d_attn = d_attn[:, :Q].astype(attention_weights.dtype)
+    return d_value, d_loc, d_attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_sep_cv(value, spatial_shapes, sampling_locations,
+                          attention_weights, q_chunk=1600):
+    """`ms_deform_attn_sep` with the hand-derived separable backward.
+
+    Identical forward; the adjoint avoids autodiff's O(Q·P·S·D) g-sized
+    intermediates (see `_sep_cv_bwd`). Use as the encoder sampling core for
+    training; gradients verified against autodiff of the XLA reference.
+    """
+    return ms_deform_attn_sep(value, spatial_shapes, sampling_locations,
+                              attention_weights, q_chunk=q_chunk)
+
+
+ms_deform_attn_sep_cv.defvjp(
+    lambda value, spatial_shapes, loc, attn, q_chunk: _sep_cv_fwd(
+        value, spatial_shapes, loc, attn, q_chunk),
+    _sep_cv_bwd,
+)
