@@ -303,3 +303,52 @@ class TestSepCustomVJP:
         b = np.asarray(ms_deform_attn_sep_cv(v16, tuple(shapes), l16, w16),
                        np.float32)
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shapes,P,Q", [
+    (((1, 1),), 1, 3),              # single 1x1 level, one point
+    (((1, 9),), 4, 5),              # single-row level (Hl = 1)
+    (((7, 1),), 4, 5),              # single-column level (Wl = 1)
+    (((6, 9), (1, 1)), 2, 4),       # mixed sizes incl. degenerate level
+    (((2, 3),), 1, 1),              # single query
+])
+def test_edge_shapes_all_formulations(rng, shapes, P, Q):
+    """Degenerate level geometries through every production formulation:
+    1-pixel / single-row / single-column maps exercise the one-hot bounds
+    masks exactly where off-by-one padding bugs live. All must match the
+    grid-sample reference, forward AND gradient."""
+    from poet_tpu.ops.deform_attn import (ms_deform_attn_mxu,
+                                          ms_deform_attn_sep,
+                                          ms_deform_attn_sep_cv)
+
+    B, H, D = 2, 2, 4
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    locs = jnp.asarray(rng.uniform(-0.3, 1.3, size=(B, Q, H, L, P, 2)),
+                       jnp.float32)
+    w = rng.uniform(size=(B, Q, H, L * P)).astype(np.float32)
+    w = (w / w.sum(-1, keepdims=True)).reshape(B, Q, H, L, P)
+    w = jnp.asarray(w)
+
+    ref = np.asarray(ms_deform_attn_xla(value, shapes, locs, w))
+    for name, op in (("mxu", ms_deform_attn_mxu),
+                     ("sep", ms_deform_attn_sep),
+                     ("sep_cv", lambda v, s, l, a:
+                      ms_deform_attn_sep_cv(v, tuple(s), l, a))):
+        got = np.asarray(op(value, shapes, locs, w))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=name)
+
+    # gradients at degenerate geometry (sep + sep_cv vs xla autodiff)
+    def loss(f):
+        return lambda v, l, a: jnp.sum(f(v, l, a) ** 2)
+
+    ga = jax.grad(loss(lambda v, l, a: ms_deform_attn_xla(v, shapes, l, a)),
+                  argnums=(0, 1, 2))(value, locs, w)
+    for name, f in (("sep", lambda v, l, a: ms_deform_attn_sep(v, shapes, l, a)),
+                    ("sep_cv", lambda v, l, a:
+                     ms_deform_attn_sep_cv(v, tuple(shapes), l, a))):
+        gb = jax.grad(loss(f), argnums=(0, 1, 2))(value, locs, w)
+        for part, (a, b) in zip(("d_value", "d_loc", "d_attn"), zip(ga, gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=f"{name}:{part}")
