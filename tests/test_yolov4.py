@@ -240,3 +240,40 @@ def test_encoder_min_stride_drops_fine_maps(rng):
     assert all(64 // f.shape[1] >= cut for f in f_cut)
     for k in d_all:
         np.testing.assert_array_equal(np.asarray(d_all[k]), np.asarray(d_cut[k]))
+
+
+def test_poet_with_trimmed_encoder(rng):
+    """Full PoET in backbone mode with encoder_min_stride trimming: the
+    transformer sees fewer levels (extras built from the coarsest), the
+    detection-driven query path still works."""
+    import tempfile
+
+    from tests.test_model import tiny_config, make_batch
+    from poet_tpu.models import build_model
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cfg", delete=False) as f:
+        f.write(MINI_CFG)
+        cfg_path = f.name
+
+    # find the coarsest stride of the mini cfg
+    sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
+    bb = YOLOv4Backbone(sections, conf_thresh=0.2, max_detections=5, pre_nms=64)
+    images = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((2, 64, 64), bool)
+    p0 = bb.init(jax.random.PRNGKey(0), images, pad_mask)
+    f_all, _, _ = bb.apply(p0, images, pad_mask)
+    cut = max(64 // f.shape[1] for f in f_all)
+
+    cfg = tiny_config(bbox_mode="backbone", num_feature_levels=3)
+    cfg.backbone.name = "yolov4"
+    cfg.backbone.cfg_path = cfg_path
+    cfg.backbone.conf_thresh = 0.2
+    cfg.backbone.max_detections = 8
+    cfg.backbone.encoder_min_stride = cut     # keep only the coarsest map
+
+    model = build_model(cfg)
+    images2, pad_mask2, targets = make_batch(rng, B=2, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images2, pad_mask2, targets)
+    out = model.apply(params, images2, pad_mask2, targets)
+    assert out["translations"].shape == (2, 2, 5, 3)
+    assert np.isfinite(np.asarray(out["translations"])).all()
