@@ -58,6 +58,11 @@ SLOW_TESTS = {
     "test_load_backbone_weights_end_to_end",
     "test_zoo_checkpoint_converter_roundtrip",
     "test_gradients_match_multi_tile",
+    # thorough-parity additions (edge-geometry fuzz + custom-VJP gradient
+    # checks) — exact but ~60 s combined; full-suite material
+    "test_edge_shapes_all_formulations",
+    "test_gradients_chunked",
+    "test_gradients_match_xla_autodiff",
 }
 
 
