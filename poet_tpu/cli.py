@@ -322,6 +322,25 @@ def main(cfg: PoETConfig):
     step_fn = make_train_step(model, cfg, tx, donate=cfg.runtime.donate_step)
 
     print("Start training")
+
+    # Preemption-safe training (extension — the reference has no preemption
+    # handling, SURVEY §5): preemptible TPU VMs receive SIGTERM before
+    # shutdown. Catch it, finish the in-flight step, write the rolling
+    # checkpoint mid-epoch, and exit 0 so the job resumes with --resume from
+    # (at most) one epoch of lost progress minus the steps already taken.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        print("SIGTERM received — checkpointing at the next step boundary")
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:                      # non-main thread (tests)
+        prev_sigterm = None
+
     # tracing/profiling hook (SURVEY §5: the reference has only wall-clock
     # prints; here the first epoch can emit a full jax.profiler trace)
     profile_dir = getattr(cfg, "profile_dir", None)
@@ -349,6 +368,15 @@ def main(cfg: PoETConfig):
             # live lr (reference logs it per epoch, engine.py:47-48,85)
             logger.update(lr=float(lr_schedule(int(state.step) - 1)))
             logger.update(**{k: float(v) for k, v in metrics.items()})
+            if preempted["flag"]:
+                if output_dir and is_main:
+                    save_checkpoint(str(output_dir), "checkpoint", state,
+                                    epoch - 1, cfg)
+                print(f"preempted at epoch {epoch} step {int(state.step)}: "
+                      "checkpoint written, exiting cleanly")
+                if prev_sigterm is not None:
+                    signal.signal(signal.SIGTERM, prev_sigterm)
+                return
         logger.synchronize_between_processes()
         print("Averaged stats:", logger)
         if profile_dir and epoch == cfg.runtime.start_epoch:

@@ -104,3 +104,58 @@ def test_cli_inference(workspace):
         for d in dets.values():
             assert set(d) == {"t", "rot", "box", "class"}
             assert np.asarray(d["rot"]).shape == (3, 3)
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(workspace, tmp_path):
+    """Preemption safety (extension; the reference has none, SURVEY §5):
+    SIGTERM mid-training writes the rolling checkpoint and exits 0; --resume
+    then restarts the interrupted epoch."""
+    import signal
+    import subprocess
+    import time as _time
+
+    data, _ = workspace
+    out = str(tmp_path / "preempt_out")
+    script = (
+        "import sys, argparse; sys.argv=['x']; "
+        "from poet_tpu.cli import args_to_config, get_args_parser, main; "
+        "p = argparse.ArgumentParser(parents=[get_args_parser()]); "
+        f"a = p.parse_args({['--dataset_path', data, '--output_dir', out, '--epochs', '50', '--eval_interval', '100', '--save_interval', '100'] + BASE!r}); "
+        "main(args_to_config(a))"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    # wait for training to actually start stepping, then preempt
+    deadline = _time.time() + 600
+    started = False
+    lines = []
+    while _time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        lines.append(line)
+        if "Epoch: [0]" in line and not started:
+            started = True
+            _time.sleep(3)          # let a step or two land
+            proc.send_signal(signal.SIGTERM)
+        if "preempted at" in line:
+            break
+    assert started, "".join(lines[-20:])
+    rc = proc.wait(timeout=600)
+    rest = proc.stdout.read()
+    output = "".join(lines) + rest
+    assert "preempted at" in output, output[-2000:]
+    assert rc == 0, (rc, output[-2000:])
+    assert os.path.isdir(os.path.join(out, "checkpoint")), os.listdir(out)
+
+    # resume restarts the interrupted epoch (payload epoch = epoch-1)
+    import re
+
+    m = re.search(r"preempted at epoch (\d+)", output)
+    interrupted = int(m.group(1))
+    from poet_tpu.engine.checkpoint import load_checkpoint
+    _, start_epoch = load_checkpoint(os.path.join(out, "checkpoint"))
+    assert start_epoch == interrupted, (start_epoch, interrupted)
