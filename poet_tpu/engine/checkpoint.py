@@ -24,13 +24,30 @@ import orbax.checkpoint as ocp
 from poet_tpu.config import PoETConfig
 
 
+def _to_host(tree):
+    """device_get that also handles multi-host-sharded leaves.
+
+    With ZeRO-1 on a multi-host mesh the optimizer moments are not fully
+    addressable from any single process; gather them first so the rank-0
+    writer sees complete arrays (no-op on single-host / replicated trees).
+    """
+    def one(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def save_checkpoint(output_dir: str, name: str, state, epoch: int, cfg: PoETConfig):
     """Write {params, opt_state, epoch} under output_dir/name."""
     path = os.path.abspath(os.path.join(output_dir, name))
     ckptr = ocp.PyTreeCheckpointer()
     payload = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": _to_host(state.params),
+        "opt_state": _to_host(state.opt_state),
         "step": int(state.step),
         "epoch": epoch,
     }

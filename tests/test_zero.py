@@ -117,3 +117,52 @@ def test_zero1_shardings_shape():
         assert isinstance(sh, NamedSharding)
         if shape.ndim == 0:
             assert sh.spec == P()
+
+
+def test_zero1_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint + restore with ZeRO-sharded moments: the host payload
+    holds complete arrays and a resumed state trains identically."""
+    rng = np.random.default_rng(11)
+    cfg = tiny_config()
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=8, H=64, W=64)
+    mesh = create_mesh()
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg, params, steps_per_epoch=10)
+    step_fn = make_train_step(model, cfg, tx, donate=False)
+    batch = shard_batch({"images": images, "pad_mask": pad_mask, **targets}, mesh)
+    targets_s = {k: batch[k] for k in targets}
+
+    params_rep = replicate(params, mesh)
+    opt_zero = init_zero1_opt_state(tx, params_rep, mesh)
+    st = TrainState(params=params_rep, opt_state=opt_zero,
+                    step=jnp.zeros((), jnp.int32))
+    st, _ = step_fn(st, batch["images"], batch["pad_mask"], targets_s,
+                    jax.random.PRNGKey(0))
+
+    from poet_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path), "ck", st, epoch=0, cfg=cfg)
+    payload, _ = load_checkpoint(
+        str(tmp_path / "ck"),
+        template={"params": params, "opt_state": jax.tree_util.tree_map(
+            np.asarray, jax.device_get(st.opt_state)), "step": 0, "epoch": 0})
+
+    # restored moments equal the live sharded ones
+    for a, b in zip(jax.tree_util.tree_leaves(payload["opt_state"]),
+                    jax.tree_util.tree_leaves(st.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # resume: re-place with zero shardings, next step matches uninterrupted
+    from poet_tpu.parallel.zero import zero1_opt_state_shardings
+
+    shardings = zero1_opt_state_shardings(tx, params_rep, mesh)
+    st_resumed = TrainState(
+        params=replicate(payload["params"], mesh),
+        opt_state=jax.device_put(payload["opt_state"], shardings),
+        step=jnp.asarray(payload["step"], jnp.int32))
+    s1, m1 = step_fn(st, batch["images"], batch["pad_mask"], targets_s,
+                     jax.random.PRNGKey(1))
+    s2, m2 = step_fn(st_resumed, batch["images"], batch["pad_mask"], targets_s,
+                     jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
