@@ -166,3 +166,49 @@ def test_zero1_checkpoint_roundtrip(tmp_path):
     s2, m2 = step_fn(st_resumed, batch["images"], batch["pad_mask"], targets_s,
                      jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_all_optimizer_extensions_compose(tmp_path):
+    """ZeRO-1 + mu_bf16 + grad_accum_steps in one training config: moments
+    bf16 AND sharded, updates land every 2 micro-steps, loss finite."""
+    import copy
+
+    rng = np.random.default_rng(13)
+    cfg = tiny_config()
+    cfg = copy.deepcopy(cfg)
+    cfg.optim.mu_bf16 = True
+    cfg.optim.grad_accum_steps = 2
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=8, H=64, W=64)
+    mesh = create_mesh()
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg, params, steps_per_epoch=10)
+    step_fn = make_train_step(model, cfg, tx, donate=False)
+    batch = shard_batch({"images": images, "pad_mask": pad_mask, **targets}, mesh)
+    targets_s = {k: batch[k] for k in targets}
+
+    params_rep = replicate(params, mesh)
+    opt = init_zero1_opt_state(tx, params_rep, mesh)
+
+    moments = _moment_leaves(opt)
+    assert any(l.dtype == jnp.dtype(jnp.bfloat16) for l in moments), \
+        sorted({str(l.dtype) for l in moments})
+    assert any(any(a is not None for a in jax.tree_util.tree_leaves(l.sharding.spec))
+               for l in moments)
+
+    st = TrainState(params=params_rep, opt_state=opt,
+                    step=jnp.zeros((), jnp.int32))
+    p0 = jax.device_get(params_rep)
+    # micro-step 1: no update yet (accumulating)
+    st, m = step_fn(st, batch["images"], batch["pad_mask"], targets_s,
+                    jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                    jax.tree_util.tree_leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # micro-step 2: update lands
+    st, m = step_fn(st, batch["images"], batch["pad_mask"], targets_s,
+                    jax.random.PRNGKey(1))
+    moved = any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                                jax.tree_util.tree_leaves(p0)))
+    assert moved and np.isfinite(float(m["loss"]))
