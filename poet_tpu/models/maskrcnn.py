@@ -17,7 +17,7 @@ Inference-only: the reference always runs the detector frozen in eval mode
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ shards over 2/4/8 devices).
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
