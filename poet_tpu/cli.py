@@ -135,6 +135,11 @@ def get_args_parser():
                    help="bfloat16 AdamW first moment (extension; halves its "
                         "memory, second moment stays f32)")
     p.add_argument("--dtype", default="float32", type=str)
+    p.add_argument("--enc_deform_impl", default=None, type=str,
+                   choices=("sep", "fused", "mxu", "patch", "gather",
+                            "sep_cv", "pallas"),
+                   help="encoder deformable-sampling core (extension; "
+                        "default = config.py enc_deform_impl)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
     return p
@@ -184,6 +189,8 @@ def args_to_config(args) -> PoETConfig:
               "mesh_data", "dtype", "zero_opt_state"):
         setattr(r, k, getattr(args, k))
     m.dtype = args.dtype
+    if getattr(args, "enc_deform_impl", None):
+        cfg.enc_deform_impl = args.enc_deform_impl
     cfg.profile_dir = getattr(args, "profile_dir", None)
     return cfg
 

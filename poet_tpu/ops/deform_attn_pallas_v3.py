@@ -1,0 +1,422 @@
+"""Fused separable Pallas kernel for multi-scale deformable attention (v3).
+
+Same contract and numerics as `ms_deform_attn_xla` / `ms_deform_attn_sep`
+(the TPU replacement for the reference's MSDeformAttn CUDA op, imported at
+models/deformable_transformer.py:24) — but the separable formulation's big
+intermediate never leaves VMEM.
+
+Why v3 exists — the measured gap in `sep` (ops/deform_attn.py): XLA lowers
+the x-mix einsum well (convolution-base-dilated on the MXU) but MATERIALIZES
+the (B, Q, H, P, Hl, D) intermediate `g` to HBM and reads it back for the
+y-mix reduction fusion (level-0 y-mix alone: 2.0 ms of the measured 5.4
+ms/layer at the paper config — pure HBM traffic, ~1.6 GB each way in bf16).
+Fusing the y-mix into the x-mix is exactly what a kernel can do and XLA
+cannot (fusion does not cross a dot boundary): per query tile, `g` lives in
+VMEM and is consumed immediately.
+
+Layout is the whole trick (and where v1/v2 lost). Everything is TRANSPOSED
+relative to `sep` so that each Mosaic op lands on its fast path:
+
+  * queries live in LANES (tiles of Qt=128 — one full vreg lane dim),
+  * the x-mix is  gT = vT_l[h] @ bxT_p  with vT_l (Hl*D, Wl) sublane-major
+    (y*D + d) and bxT (Wl, Qt): plain MXU dot, K = Wl,
+  * the y-mix reduction over y is then a SUBLANE-group reduction:
+    gT.reshape(Hl, D, Qt) * ay[:, None, :] summed over axis 0 — a free
+    reinterpretation (480 = 30*16 splits on a sublane-tile boundary) plus
+    vreg adds; no lane shuffles, no block-identity matmul (v2's mistake),
+    no (y,d)-interleaved lane reshapes,
+  * the P=4 points accumulate into the same (D, Qt) register block, so the
+    p-sum costs nothing.
+
+Zero-padding semantics are identical to the XLA reference: an out-of-map
+corner index matches no iota row, so its weight is implicitly zero; query
+padding uses location -10 which matches nothing.
+
+Forward + custom VJP. The backward applies the same fusion to the adjoint:
+d_value accumulates per level as bxT-weighted outer products (a K=Qt MXU
+matmul — full K utilization), and d_loc/d_attn recompute gT (free remat in
+VMEM) plus a second x-mix against the one-hot DIFFERENCE operator; none of
+autodiff's g-sized HBM round-trips survive.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+_QT = 128  # query lane tile
+
+
+def _dot(a, b, dims, dtype):
+    """dot_general with full f32 precision when the operands are f32.
+
+    On TPU the MXU's default precision for f32 operands is reduced (bf16
+    passes) — measured 2.6e-3 absolute error vs the XLA reference at encoder
+    shapes. bf16 operands are exact by construction (native MXU dtype with
+    f32 accumulation), so they keep the fast path.
+    """
+    precision = (jax.lax.Precision.HIGHEST if dtype == _F32
+                 else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=_F32,
+                               precision=precision)
+
+
+def _prep(value, spatial_shapes, sampling_locations, attention_weights):
+    """Host-side (XLA) layout prep shared by fwd and bwd.
+
+    Returns (vT_levels, xb, yb, ab, Q_pad) with
+      vT_levels[l]: (B, H, Hl*D, Wl)  sublane index y*D + d, lane x,
+      xb, yb:       (B, L, H, P, Q_pad) f32 pixel coords (pad queries = -1e4),
+      ab:           (B, L, H, P, Q_pad) f32 attention weights.
+    """
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+
+    vT_levels = []
+    start = 0
+    for Hl, Wl in spatial_shapes:
+        v = value[:, start : start + Hl * Wl].reshape(B, Hl, Wl, H, D)
+        start += Hl * Wl
+        # (B, H, Hl, D, Wl) -> (B, H, Hl*D, Wl)
+        vT_levels.append(v.transpose(0, 3, 1, 4, 2).reshape(B, H, Hl * D, Wl))
+
+    Q_pad = ((Q + _QT - 1) // _QT) * _QT
+    loc = sampling_locations.astype(_F32)
+    attn = attention_weights.astype(_F32)
+    if Q_pad != Q:
+        pad = Q_pad - Q
+        loc = jnp.pad(loc, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)),
+                      constant_values=-10.0)
+        attn = jnp.pad(attn, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+
+    scale_w = jnp.array([w for _, w in spatial_shapes], _F32)
+    scale_h = jnp.array([h for h, _ in spatial_shapes], _F32)
+    # (B, Q, H, L, P) -> (B, L, H, P, Q)
+    x = loc[..., 0] * scale_w[None, None, None, :, None] - 0.5
+    y = loc[..., 1] * scale_h[None, None, None, :, None] - 0.5
+    xb = x.transpose(0, 3, 2, 4, 1)
+    yb = y.transpose(0, 3, 2, 4, 1)
+    ab = attn.transpose(0, 3, 2, 4, 1)
+    return vT_levels, xb, yb, ab, Q_pad
+
+
+def _corner_ops(x_p, y_p, a_p, Hl, Wl, Qt):
+    """Build the transposed one-hot operators for one point.
+
+    x_p, y_p, a_p: (1, Qt) f32 pixel coords / attention weight.
+    Returns (bxT, dbxT, ayT, wyT, dwyT):
+      bxT  (Wl, Qt): x-interpolation operator (two weighted one-hot rows),
+      dbxT (Wl, Qt): d bxT / d tx  (one-hot difference),
+      ayT  (Hl, Qt): y operator * attention weight,
+      wyT  (Hl, Qt): y operator without attention,
+      dwyT (Hl, Qt): d wyT / d ty.
+    """
+    x0 = jnp.floor(x_p)
+    y0 = jnp.floor(y_p)
+    tx = x_p - x0
+    ty = y_p - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    iota_x = lax.broadcasted_iota(jnp.int32, (Wl, Qt), 0)
+    iota_y = lax.broadcasted_iota(jnp.int32, (Hl, Qt), 0)
+    oh_x0 = (iota_x == x0i).astype(_F32)
+    oh_x1 = (iota_x == x0i + 1).astype(_F32)
+    oh_y0 = (iota_y == y0i).astype(_F32)
+    oh_y1 = (iota_y == y0i + 1).astype(_F32)
+
+    bxT = oh_x0 * (1.0 - tx) + oh_x1 * tx
+    dbxT = oh_x1 - oh_x0
+    wyT = oh_y0 * (1.0 - ty) + oh_y1 * ty
+    dwyT = oh_y1 - oh_y0
+    return bxT, dbxT, wyT * a_p, wyT, dwyT
+
+
+def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype):
+    vT_refs = rest[:-1]
+    out_ref = rest[-1]
+    Qt = out_ref.shape[-1]
+
+    def head_body(h, _):
+        acc = jnp.zeros((D, Qt), _F32)
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+            x = xb_ref[0, lvl, h]                        # (P, Qt) f32
+            y = yb_ref[0, lvl, h]
+            a = ab_ref[0, lvl, h]
+            vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
+            P = x.shape[0]
+            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+                               Hl, Wl, Qt) for p in range(P)]
+            # one (Hl*D, Wl) @ (Wl, P*Qt) dot for all points: the lane
+            # concat is 128-aligned (Qt = 128), and N = P*Qt amortizes the
+            # MXU pipeline fill that four N=Qt dots pay separately.
+            bxT_all = jnp.concatenate([o[0] for o in ops], axis=1)
+            gT_all = _dot(vT, bxT_all.astype(dtype),
+                          (((1,), (0,)), ((), ())), dtype)  # (Hl*D, P*Qt)
+            for p in range(P):
+                gT = gT_all[:, p * Qt : (p + 1) * Qt]
+                acc = acc + jnp.sum(
+                    gT.reshape(Hl, D, Qt) * ops[p][2][:, None, :], axis=0)
+        out_ref[0, h] = acc
+        return 0
+
+    # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
+    # fori_loop at the paper config (Mosaic schedules across iterations)
+    for h in range(H):
+        head_body(h, 0)
+
+
+def ms_deform_attn_pallas_v3(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fused separable deformable sampling (forward). See module docstring.
+
+    Args/returns exactly as `ms_deform_attn_xla`:
+      value (B, S, H, D), spatial_shapes static [(Hl, Wl)] with sum(Hl*Wl)==S,
+      sampling_locations (B, Q, H, L, P, 2) in [0,1], attention_weights
+      (B, Q, H, L, P) -> (B, Q, H*D).
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    assert sum(h * w for h, w in spatial_shapes) == S
+
+    vT_levels, xb, yb, ab, Q_pad = _prep(
+        value, spatial_shapes, sampling_locations, attention_weights)
+    n_qt = Q_pad // _QT
+
+    grid = (B, n_qt)
+    coord_spec = pl.BlockSpec(
+        (1, L, H, P, _QT), lambda b, q: (b, 0, 0, 0, q),
+        memory_space=pltpu.VMEM)
+    v_specs = [
+        pl.BlockSpec((1, H, Hl * D, Wl), lambda b, q: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for Hl, Wl in spatial_shapes
+    ]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
+                          H=H, D=D, dtype=value.dtype),
+        grid=grid,
+        in_specs=[coord_spec, coord_spec, coord_spec, *v_specs],
+        out_specs=pl.BlockSpec((1, H, D, _QT), lambda b, q: (b, 0, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), _F32),
+    )(xb, yb, ab, *vT_levels)
+
+    out = out.transpose(0, 3, 1, 2)[:, :Q]               # (B, Q, H, D)
+    return out.reshape(B, Q, H * D).astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: the same fusion applied to the adjoint.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
+                     spatial_shapes, H, D, dtype):
+    """d_value per level: dvT_l[h] += sum_p (ay-weighted dout) @ bxT_p^T.
+
+    dvT[(y,d), x] = Σ_{q,p} ay[p, y, q] * dout[d, q] * bxT[x, q]
+    computed as an MXU dot with K = Qt (full K utilization): for each p,
+    lhs[(y,d), q] = ay-expanded * dout, rhs = bxT^T. Accumulates over the
+    q-tile grid axis (output blocks revisited, q innermost).
+    """
+    q_idx = pl.program_id(1)
+
+    def head_body(h, _):
+        do = do_ref[0, h]                                # (D, Qt) f32
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+            x = xb_ref[0, lvl, h]
+            y = yb_ref[0, lvl, h]
+            a = ab_ref[0, lvl, h]
+            P = x.shape[0]
+            Qt = x.shape[1]
+            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+                               Hl, Wl, Qt) for p in range(P)]
+            # dg[(y,d), q] = ay[y, q] * dout[d, q]   (VMEM only); the lane
+            # concat over points turns the q-contraction into K = P*Qt with
+            # the point-sum built into the dot.
+            dg_all = jnp.concatenate(
+                [(o[2][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
+                 for o in ops], axis=1)                  # (Hl*D, P*Qt)
+            bxT_all = jnp.concatenate([o[0] for o in ops], axis=1)
+            acc = _dot(dg_all.astype(dtype), bxT_all.astype(dtype),
+                       (((1,), (1,)), ((), ())), dtype)  # (Hl*D, Wl)
+
+            @pl.when(q_idx == 0)
+            def _init():
+                dv_refs[lvl][0, h] = acc
+
+            @pl.when(q_idx != 0)
+            def _accum():
+                dv_refs[lvl][0, h] += acc
+        return 0
+
+    # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
+    # fori_loop at the paper config (Mosaic schedules across iterations)
+    for h in range(H):
+        head_body(h, 0)
+
+
+def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
+                     spatial_shapes, H, D, dtype):
+    """d_loc (pixel-space d_tx, d_ty) and d_attn per (level, point).
+
+    Recomputes gT (and the difference-operator variant) in VMEM:
+      E[y, q]   = Σ_d ay-free gT * dout   (VPU)
+      d_attn    = Σ_y wyT * E
+      d_ty      = a * Σ_y dwyT * E
+      d_tx      = Σ_y ay * (Σ_d dgxT * dout)  with dgxT = vT @ dbxT.
+    """
+    # rest = (*vT_levels, dtx_ref, dty_ref, da_ref)
+    L = len(spatial_shapes)
+    vT_refs = rest[:L]
+    dtx_ref, dty_ref, da_ref = rest[L], rest[L + 1], rest[L + 2]
+
+    def head_body(h, _):
+        do = do_ref[0, h]                                # (D, Qt)
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+            x = xb_ref[0, lvl, h]
+            y = yb_ref[0, lvl, h]
+            a = ab_ref[0, lvl, h]
+            vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
+            P = x.shape[0]
+            Qt = x.shape[1]
+            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+                               Hl, Wl, Qt) for p in range(P)]
+            # one dot for all points' gT AND dgxT: lane-concat the bx and
+            # difference operators into (Wl, 2*P*Qt).
+            bx_cat = jnp.concatenate(
+                [o[0] for o in ops] + [o[1] for o in ops], axis=1)
+            g_cat = _dot(vT, bx_cat.astype(dtype),
+                         (((1,), (0,)), ((), ())), dtype)  # (Hl*D, 2*P*Qt)
+            for p in range(P):
+                _, _, ayT, wyT, dwyT = ops[p]
+                gT = g_cat[:, p * Qt : (p + 1) * Qt].reshape(Hl, D, Qt)
+                dgxT = g_cat[:, (P + p) * Qt : (P + p + 1) * Qt].reshape(
+                    Hl, D, Qt)
+                # E[y, q] = sum_d gT * dout  (per-y dot with the cotangent)
+                E = jnp.sum(gT * do[None, :, :], axis=1)        # (Hl, Qt)
+                Ex = jnp.sum(dgxT * do[None, :, :], axis=1)     # (Hl, Qt)
+                da_ref[0, lvl, h, p] = jnp.sum(wyT * E, axis=0)
+                dty_ref[0, lvl, h, p] = (a[p : p + 1] *
+                                         jnp.sum(dwyT * E, axis=0))[0]
+                dtx_ref[0, lvl, h, p] = jnp.sum(ayT * Ex, axis=0)
+        return 0
+
+    # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
+    # fori_loop at the paper config (Mosaic schedules across iterations)
+    for h in range(H):
+        head_body(h, 0)
+
+
+def _v3_fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = ms_deform_attn_pallas_v3(
+        value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _v3_bwd(spatial_shapes, res, dout):
+    value, sampling_locations, attention_weights = res
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    vT_levels, xb, yb, ab, Q_pad = _prep(
+        value, spatial_shapes, sampling_locations, attention_weights)
+    n_qt = Q_pad // _QT
+
+    # cotangent -> (B, H, D, Q_pad) f32, the kernel-side layout
+    do = dout.reshape(B, Q, H, D).astype(_F32).transpose(0, 2, 3, 1)
+    if Q_pad != Q:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
+
+    grid = (B, n_qt)
+    coord_spec = pl.BlockSpec(
+        (1, L, H, P, _QT), lambda b, q: (b, 0, 0, 0, q),
+        memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, H, D, _QT), lambda b, q: (b, 0, 0, q),
+                           memory_space=pltpu.VMEM)
+    v_specs = [
+        pl.BlockSpec((1, H, Hl * D, Wl), lambda b, q: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for Hl, Wl in spatial_shapes
+    ]
+
+    # --- d_value: one kernel, output blocks accumulated over the q axis ---
+    dv_levels = pl.pallas_call(
+        functools.partial(_bwd_dval_kernel, spatial_shapes=spatial_shapes,
+                          H=H, D=D, dtype=dtype),
+        grid=grid,
+        in_specs=[coord_spec, coord_spec, coord_spec, do_spec],
+        out_specs=[
+            pl.BlockSpec((1, H, Hl * D, Wl), lambda b, q: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for Hl, Wl in spatial_shapes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Hl * D, Wl), _F32)
+            for Hl, Wl in spatial_shapes
+        ],
+    )(xb, yb, ab, do)
+
+    # undo the vT layout: (B, H, Hl*D, Wl) -> (B, Hl*Wl, H, D)
+    d_value_parts = []
+    for (Hl, Wl), dv in zip(spatial_shapes, dv_levels):
+        d_value_parts.append(
+            dv.reshape(B, H, Hl, D, Wl).transpose(0, 2, 4, 1, 3)
+            .reshape(B, Hl * Wl, H, D))
+    d_value = jnp.concatenate(d_value_parts, axis=1).astype(dtype)
+
+    # --- d_loc / d_attn ---
+    grad_spec = pl.BlockSpec((1, L, H, P, _QT), lambda b, q: (b, 0, 0, 0, q),
+                             memory_space=pltpu.VMEM)
+    dtx, dty, da = pl.pallas_call(
+        functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
+                          H=H, D=D, dtype=dtype),
+        grid=grid,
+        in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
+        out_specs=[grad_spec, grad_spec, grad_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, H, P, Q_pad), _F32)
+            for _ in range(3)
+        ],
+    )(xb, yb, ab, do, *vT_levels)
+
+    # (B, L, H, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5
+    def back(t):
+        return t.transpose(0, 4, 2, 1, 3)[:, :Q]
+    scale_w = jnp.array([w for _, w in spatial_shapes], _F32)
+    scale_h = jnp.array([h for h, _ in spatial_shapes], _F32)
+    d_loc = jnp.stack(
+        [back(dtx) * scale_w[None, None, None, :, None],
+         back(dty) * scale_h[None, None, None, :, None]], axis=-1)
+    d_attn = back(da)
+    return (d_value,
+            d_loc.astype(sampling_locations.dtype),
+            d_attn.astype(attention_weights.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_fused(value, spatial_shapes, sampling_locations,
+                         attention_weights):
+    """`ms_deform_attn_pallas_v3` with the fused Pallas backward."""
+    return ms_deform_attn_pallas_v3(
+        value, spatial_shapes, sampling_locations, attention_weights)
+
+
+ms_deform_attn_fused.defvjp(_v3_fwd, _v3_bwd)

@@ -1,0 +1,106 @@
+"""Fused separable Pallas kernel (v3) vs the XLA reference (interpret mode).
+
+Covers forward parity (incl. out-of-bounds sampling and query-tile padding),
+the custom-VJP gradients against autodiff of `ms_deform_attn_xla`, and edge
+level geometries.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poet_tpu.ops.deform_attn import ms_deform_attn_xla
+from tests.test_deform_attn import _make_inputs
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+def test_v3_matches_xla(rng):
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
+
+    value, shapes, locs, w = _make_inputs(rng, B=2, Q=6, H=4, D=8)
+    a = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn_pallas_v3(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_v3_multi_tile(rng):
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
+
+    value, shapes, locs, w = _make_inputs(rng, B=1, Q=300, H=2, D=8)
+    a = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn_pallas_v3(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_v3_edge_levels(rng):
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
+
+    value, shapes, locs, w = _make_inputs(rng, B=1, Q=5, H=2, D=8,
+                                          shapes=((1, 7), (3, 1), (1, 1)))
+    a = np.asarray(ms_deform_attn_xla(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn_pallas_v3(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_v3_fused_gradients_match_autodiff(rng):
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
+
+    value, shapes, locs, w = _make_inputs(rng, B=2, Q=7, H=2, D=8,
+                                          shapes=((5, 7), (3, 4)))
+
+    def loss_ref(v, l, aw):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_xla(v, shapes, l, aw)))
+
+    def loss_v3(v, l, aw):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_fused(v, shapes, l, aw)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    gv = jax.grad(loss_v3, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    for a, b in zip(gr, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_v3_fused_gradients_multi_tile(rng):
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
+
+    value, shapes, locs, w = _make_inputs(rng, B=1, Q=200, H=2, D=8)
+
+    def loss_ref(v, l, aw):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_xla(v, shapes, l, aw)))
+
+    def loss_v3(v, l, aw):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_fused(v, shapes, l, aw)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    gv = jax.grad(loss_v3, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    for a, b in zip(gr, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_v3_bf16_close_to_f32(rng):
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
+
+    value, shapes, locs, w = _make_inputs(rng, B=1, Q=6, H=2, D=8)
+    a = np.asarray(ms_deform_attn_pallas_v3(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn_pallas_v3(
+        jnp.asarray(value, jnp.bfloat16), shapes,
+        jnp.asarray(locs), jnp.asarray(w)).astype(jnp.float32))
+    np.testing.assert_allclose(a, b, atol=5e-2)
