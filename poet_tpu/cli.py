@@ -190,7 +190,7 @@ def args_to_config(args) -> PoETConfig:
         setattr(r, k, getattr(args, k))
     m.dtype = args.dtype
     if getattr(args, "enc_deform_impl", None):
-        cfg.enc_deform_impl = args.enc_deform_impl
+        m.enc_deform_impl = args.enc_deform_impl
     cfg.profile_dir = getattr(args, "profile_dir", None)
     return cfg
 

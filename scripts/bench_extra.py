@@ -103,6 +103,10 @@ def bench_train_step():
 
     B = 16
     cfg, model, images, pad_mask, targets = _flagship_setup(B=B, H=480, W=640)
+    impl = os.environ.get("TRAIN_ENC_IMPL")
+    if impl:
+        cfg.model.enc_deform_impl = impl
+        model = build_model(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
     tx = make_optimizer(cfg, params, steps_per_epoch=100)
     state0 = TrainState(params=params, opt_state=tx.init(params),

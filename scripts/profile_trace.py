@@ -21,7 +21,7 @@ import re
 import sys
 
 
-def run_workload(which: str, iters: int, trace_dir: str):
+def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -30,6 +30,10 @@ def run_workload(which: str, iters: int, trace_dir: str):
 
     B = 16
     cfg, model, images, pad_mask, targets = _flagship_setup(B=B, H=480, W=640)
+    if impl:
+        from poet_tpu.models import build_model
+        cfg.model.enc_deform_impl = impl
+        model = build_model(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
 
     if which == "fwd":
@@ -140,9 +144,11 @@ if __name__ == "__main__":
     ap.add_argument("workload", nargs="?", default="fwd", choices=["fwd", "train"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default="/tmp/poet_tpu_trace")
+    ap.add_argument("--impl", default=None,
+                    help="override cfg.enc_deform_impl for the workload")
     ap.add_argument("--report-only", action="store_true",
                     help="parse an existing trace dir without running")
     a = ap.parse_args()
     if not a.report_only:
-        run_workload(a.workload, a.iters, a.out)
+        run_workload(a.workload, a.iters, a.out, a.impl)
     report(a.out, a.iters)

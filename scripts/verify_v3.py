@@ -64,7 +64,7 @@ def main():
 
     cfg, model, images, pad_mask, targets = g._flagship_setup(
         B=2, H=480, W=640, dtype="bfloat16")
-    cfg.enc_deform_impl = "fused"
+    cfg.model.enc_deform_impl = "fused"
     from poet_tpu.models import build_model
 
     model = build_model(cfg)

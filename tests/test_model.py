@@ -207,3 +207,39 @@ def test_bfloat16_compute_matches_f32(rng):
     tr = np.einsum("...ij,...ij->...", r32, r16)
     ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
     assert ang.max() < 5.0
+
+
+@pytest.mark.slow
+def test_fused_enc_impl_reaches_the_graph_and_matches_sep(rng):
+    """Regression: cfg.model.enc_deform_impl (NOT a root-config attr) must
+    select the encoder sampling core — a root-level setattr silently built
+    the default path. Also checks model-level numerical parity of the fused
+    Pallas kernel vs sep."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    images, pad_mask, targets = make_batch(np.random.default_rng(5))
+    cfg = tiny_config()
+    cfg.model.enc_deform_impl = "fused"
+    model_f = build_model(cfg)
+
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, i, m, t: model_f.apply(p, i, m, t, deterministic=True))(
+        jax.eval_shape(model_f.init, jax.random.PRNGKey(0), images, pad_mask,
+                       targets), images, pad_mask, targets))
+    assert "pallas_call" in jaxpr
+
+    cfg_s = tiny_config()
+    cfg_s.model.enc_deform_impl = "sep"
+    model_s = build_model(cfg_s)
+    params = model_s.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    out_s = model_s.apply(params, images, pad_mask, targets,
+                          deterministic=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = model_f.apply(params, images, pad_mask, targets,
+                              deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f["translations"]),
+                               np.asarray(out_s["translations"]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f["rotations"]),
+                               np.asarray(out_s["rotations"]),
+                               atol=1e-4, rtol=1e-4)
