@@ -70,6 +70,23 @@ def _dot(a, b, dims, dtype):
                                precision=precision)
 
 
+def _pick_head_group(H, D, spatial_shapes, itemsize, budget=8 * 1024 * 1024):
+    """Largest divisor of H whose per-group vT VMEM blocks fit the budget.
+
+    The value blocks are (Hg, Hl*D, Wl) per level with the lane dim padded
+    to 128; at Mask-R-CNN pyramid scale all H=16 heads fit (the fastest
+    measured config), at YOLO scale (S=6380) a full-H block overflows the
+    16 MB scoped VMEM (measured: 29.25M requested), so heads are processed
+    in grid-partitioned groups.
+    """
+    per_head = sum(Hl * D * (-(-Wl // 128) * 128) * itemsize
+                   for Hl, Wl in spatial_shapes)
+    for hg in range(H, 0, -1):
+        if H % hg == 0 and per_head * hg <= budget:
+            return hg
+    return 1
+
+
 def _prep(value, spatial_shapes, sampling_locations, attention_weights):
     """Host-side (XLA) layout prep shared by fwd and bwd.
 
@@ -98,11 +115,13 @@ def _prep(value, spatial_shapes, sampling_locations, attention_weights):
                       constant_values=-10.0)
         attn = jnp.pad(attn, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
 
-    scale_w = jnp.array([w for _, w in spatial_shapes], _F32)
-    scale_h = jnp.array([h for h, _ in spatial_shapes], _F32)
-    # (B, Q, H, L, P) -> (B, L, H, P, Q)
-    x = loc[..., 0] * scale_w[None, None, None, :, None] - 0.5
-    y = loc[..., 1] * scale_h[None, None, None, :, None] - 0.5
+    # per-level Python-scalar scaling (NOT a jnp.array constant: closed-over
+    # array consts break custom_partitioning's trace, which requires a
+    # const-free jaxpr). (B, Q, H, L, P) -> (B, L, H, P, Q).
+    x = jnp.stack([loc[..., lvl, :, 0] * float(w) - 0.5
+                   for lvl, (_, w) in enumerate(spatial_shapes)], axis=3)
+    y = jnp.stack([loc[..., lvl, :, 1] * float(h) - 0.5
+                   for lvl, (h, _) in enumerate(spatial_shapes)], axis=3)
     xb = x.transpose(0, 3, 2, 4, 1)
     yb = y.transpose(0, 3, 2, 4, 1)
     ab = attn.transpose(0, 3, 2, 4, 1)
@@ -196,22 +215,23 @@ def ms_deform_attn_pallas_v3(
     vT_levels, xb, yb, ab, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
+    Hg = _pick_head_group(H, D, spatial_shapes, value.dtype.itemsize)
 
-    grid = (B, n_qt)
+    grid = (B, H // Hg, n_qt)
     coord_spec = pl.BlockSpec(
-        (1, L, H, P, _QT), lambda b, q: (b, 0, 0, 0, q),
+        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
         memory_space=pltpu.VMEM)
     v_specs = [
-        pl.BlockSpec((1, H, Hl * D, Wl), lambda b, q: (b, 0, 0, 0),
+        pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
                      memory_space=pltpu.VMEM)
         for Hl, Wl in spatial_shapes
     ]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
-                          H=H, D=D, dtype=value.dtype),
+                          H=Hg, D=D, dtype=value.dtype),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, *v_specs],
-        out_specs=pl.BlockSpec((1, H, D, _QT), lambda b, q: (b, 0, 0, q),
+        out_specs=pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), _F32),
     )(xb, yb, ab, *vT_levels)
@@ -234,7 +254,7 @@ def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
     lhs[(y,d), q] = ay-expanded * dout, rhs = bxT^T. Accumulates over the
     q-tile grid axis (output blocks revisited, q innermost).
     """
-    q_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
 
     def head_body(h, _):
         do = do_ref[0, h]                                # (D, Qt) f32
@@ -323,14 +343,8 @@ def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
         head_body(h, 0)
 
 
-def _v3_fwd(value, spatial_shapes, sampling_locations, attention_weights):
-    out = ms_deform_attn_pallas_v3(
-        value, spatial_shapes, sampling_locations, attention_weights)
-    return out, (value, sampling_locations, attention_weights)
-
-
-def _v3_bwd(spatial_shapes, res, dout):
-    value, sampling_locations, attention_weights = res
+def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
+                 spatial_shapes):
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -339,20 +353,21 @@ def _v3_bwd(spatial_shapes, res, dout):
     vT_levels, xb, yb, ab, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
+    Hg = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
 
     # cotangent -> (B, H, D, Q_pad) f32, the kernel-side layout
     do = dout.reshape(B, Q, H, D).astype(_F32).transpose(0, 2, 3, 1)
     if Q_pad != Q:
         do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
 
-    grid = (B, n_qt)
+    grid = (B, H // Hg, n_qt)
     coord_spec = pl.BlockSpec(
-        (1, L, H, P, _QT), lambda b, q: (b, 0, 0, 0, q),
+        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
         memory_space=pltpu.VMEM)
-    do_spec = pl.BlockSpec((1, H, D, _QT), lambda b, q: (b, 0, 0, q),
+    do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                            memory_space=pltpu.VMEM)
     v_specs = [
-        pl.BlockSpec((1, H, Hl * D, Wl), lambda b, q: (b, 0, 0, 0),
+        pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
                      memory_space=pltpu.VMEM)
         for Hl, Wl in spatial_shapes
     ]
@@ -360,11 +375,11 @@ def _v3_bwd(spatial_shapes, res, dout):
     # --- d_value: one kernel, output blocks accumulated over the q axis ---
     dv_levels = pl.pallas_call(
         functools.partial(_bwd_dval_kernel, spatial_shapes=spatial_shapes,
-                          H=H, D=D, dtype=dtype),
+                          H=Hg, D=D, dtype=dtype),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, do_spec],
         out_specs=[
-            pl.BlockSpec((1, H, Hl * D, Wl), lambda b, q: (b, 0, 0, 0),
+            pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
                          memory_space=pltpu.VMEM)
             for Hl, Wl in spatial_shapes
         ],
@@ -383,11 +398,12 @@ def _v3_bwd(spatial_shapes, res, dout):
     d_value = jnp.concatenate(d_value_parts, axis=1).astype(dtype)
 
     # --- d_loc / d_attn ---
-    grad_spec = pl.BlockSpec((1, L, H, P, _QT), lambda b, q: (b, 0, 0, 0, q),
-                             memory_space=pltpu.VMEM)
+    grad_spec = pl.BlockSpec(
+        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        memory_space=pltpu.VMEM)
     dtx, dty, da = pl.pallas_call(
         functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
-                          H=H, D=D, dtype=dtype),
+                          H=Hg, D=D, dtype=dtype),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
         out_specs=[grad_spec, grad_spec, grad_spec],
@@ -397,24 +413,166 @@ def _v3_bwd(spatial_shapes, res, dout):
         ],
     )(xb, yb, ab, do, *vT_levels)
 
-    # (B, L, H, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5
+    # (B, L, H, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5.
+    # Per-level Python-scalar scaling (array consts break custom_partitioning).
     def back(t):
         return t.transpose(0, 4, 2, 1, 3)[:, :Q]
-    scale_w = jnp.array([w for _, w in spatial_shapes], _F32)
-    scale_h = jnp.array([h for h, _ in spatial_shapes], _F32)
+    dtx_b, dty_b = back(dtx), back(dty)
     d_loc = jnp.stack(
-        [back(dtx) * scale_w[None, None, None, :, None],
-         back(dty) * scale_h[None, None, None, :, None]], axis=-1)
+        [jnp.stack([dtx_b[..., lvl, :] * float(w)
+                    for lvl, (_, w) in enumerate(spatial_shapes)], axis=3),
+         jnp.stack([dty_b[..., lvl, :] * float(h)
+                    for lvl, (h, _) in enumerate(spatial_shapes)], axis=3)],
+        axis=-1)
     d_attn = back(da)
     return (d_value,
             d_loc.astype(sampling_locations.dtype),
             d_attn.astype(attention_weights.dtype))
 
 
+# ---------------------------------------------------------------------------
+# Mesh partitioning: a pallas_call is opaque to GSPMD/Shardy, so without help
+# a sharded caller would all-gather every operand. The op is embarrassingly
+# parallel over batch (b) and heads (h) — and, forward-only, over queries (q)
+# — so custom_partitioning declares exactly that. The spatial token axis (s)
+# must be replicated (every query may sample anywhere); the backward also
+# replicates q because d_value sums over queries (a q-shard would need a
+# cross-shard reduction, which the sharding rule cannot express one-sided).
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
+
+
+def _axis_at(shape_like, dim):
+    sh = getattr(shape_like, "sharding", None)
+    spec = getattr(sh, "spec", None)
+    if spec is None or dim >= len(spec):
+        return None
+    return spec[dim]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd(spatial_shapes):
+    def _impl(value, loc, attn):
+        return ms_deform_attn_pallas_v3(value, spatial_shapes, loc, attn)
+
+    f = custom_partitioning(_impl)
+
+    def _bqh(arg_shapes):
+        value_s, loc_s, attn_s = arg_shapes
+        b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0) or _axis_at(attn_s, 0))
+        h = (_axis_at(value_s, 2) or _axis_at(loc_s, 2) or _axis_at(attn_s, 2))
+        q = _axis_at(loc_s, 1) or _axis_at(attn_s, 1)
+        return b, q, h
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, q, h = _bqh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b, q, h))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, q, h = _bqh(arg_shapes)
+        arg_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None)),
+        )
+        out_sh = NamedSharding(mesh, PartitionSpec(b, q, h))
+        return mesh, _impl, out_sh, arg_sh
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b s h d, b q h l p two, b q h l p -> b q (h d)",
+        need_replication_factors=("s", "l", "p", "two"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd(spatial_shapes):
+    def _impl(value, loc, attn, dout):
+        return _v3_bwd_impl(value, loc, attn, dout, spatial_shapes)
+
+    f = custom_partitioning(_impl)
+
+    def _bh(arg_shapes):
+        value_s, loc_s, attn_s, dout_s = arg_shapes
+        b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0)
+             or _axis_at(dout_s, 0))
+        h = _axis_at(value_s, 2) or _axis_at(loc_s, 2)
+        return b, h
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh(arg_shapes)
+        return (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h, None, None)),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh(arg_shapes)
+        arg_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h)),
+        )
+        out_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, h, None, None)),
+        )
+        return mesh, _impl, out_sh, arg_sh
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # NB: special factors must be listed in first-appearance order
+        # (Shardy verifier: "indices of special factors must be sorted")
+        sharding_rule=("b s h d, b q h l p two, b q h l p, b q (h d) "
+                       "-> b s h d, b q h l p two, b q h l p"),
+        need_replication_factors=("s", "q", "l", "p", "two"),
+    )
+    return f
+
+
+def _in_mesh_context() -> bool:
+    mesh = jax.sharding.get_abstract_mesh()
+    return bool(getattr(mesh, "axis_names", ()))
+
+
+def _v3_fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _in_mesh_context():
+        out = _sharded_fwd(shapes)(value, sampling_locations,
+                                   attention_weights)
+    else:
+        out = ms_deform_attn_pallas_v3(value, shapes, sampling_locations,
+                                       attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _v3_bwd(spatial_shapes, res, dout):
+    value, sampling_locations, attention_weights = res
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _in_mesh_context():
+        return _sharded_bwd(shapes)(value, sampling_locations,
+                                    attention_weights, dout)
+    return _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
+                        shapes)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_fused(value, spatial_shapes, sampling_locations,
                          attention_weights):
-    """`ms_deform_attn_pallas_v3` with the fused Pallas backward."""
+    """`ms_deform_attn_pallas_v3` with the fused Pallas backward.
+
+    Under an active mesh (`jax.set_mesh`) both passes carry
+    custom_partitioning rules: batch and head axes shard cleanly; the token
+    axis `s` (and, in the backward, `q`) is declared need-replication.
+    """
     return ms_deform_attn_pallas_v3(
         value, spatial_shapes, sampling_locations, attention_weights)
 

@@ -154,6 +154,8 @@ def bench_yolov4():
     cfg.backbone.encoder_min_stride = int(os.environ.get("YOLO_ENC_MIN_STRIDE", 1))
     cfg.model.bbox_mode = "backbone"
     cfg.model.n_classes = 21
+    if os.environ.get("YOLO_ENC_IMPL"):
+        cfg.model.enc_deform_impl = os.environ["YOLO_ENC_IMPL"]
     model = build_model(cfg)
     rng_np = np.random.default_rng(0)
     images = jnp.asarray(rng_np.uniform(size=(B, 480, 640, 3)).astype(np.float32))

@@ -167,7 +167,8 @@ def main():
         def fn(value, loc, attn, salt):
             def body(i, carry):
                 l = loc * (1 + carry * 1e-9)
-                out = op(value * (1 + carry * 1e-9), SHAPES, l, attn)
+                vv = (value * (1 + carry * 1e-9)).astype(value.dtype)
+                out = op(vv, SHAPES, l, attn)
                 return jnp.mean(out.astype(jnp.float32)) + salt
             return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
         return fn

@@ -34,6 +34,7 @@ def test_v3_matches_xla(rng):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_v3_multi_tile(rng):
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
 
@@ -74,6 +75,7 @@ def test_v3_fused_gradients_match_autodiff(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_v3_fused_gradients_multi_tile(rng):
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
 
