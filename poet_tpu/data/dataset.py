@@ -25,21 +25,51 @@ from PIL import Image
 
 from poet_tpu.data.transforms import (
     Compose,
+    image_hw,
     jitter_boxes,
     make_pose_estimation_transform,
 )
-from poet_tpu.utils import quaternions as Q
-
-# host-side conversions reuse the jnp functions through numpy inputs
-import jax.numpy as jnp
 
 
-def _rot2quat_np(rots: np.ndarray) -> np.ndarray:
-    return np.asarray(Q.rot2quat(jnp.asarray(rots)))
+_NATIVE = None
 
 
-def _quat2rot_np(quats: np.ndarray) -> np.ndarray:
-    return np.asarray(Q.quat2rot(jnp.asarray(quats)))
+def _native_imagepipe():
+    """The C++ decode library (poet_tpu/native/imagepipe.cpp), or None.
+
+    Probed once per process; falls back to PIL when the toolchain or
+    libpng/libjpeg are unavailable, or when POET_TPU_DISABLE_NATIVE_DECODE
+    is set (used by the parity tests to force the PIL path)."""
+    global _NATIVE
+    if os.environ.get("POET_TPU_DISABLE_NATIVE_DECODE"):
+        return None
+    if _NATIVE is None:
+        try:
+            from poet_tpu import native
+            _NATIVE = native if native.imagepipe_available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+# HOST-ONLY conversions: the loader workers must never dispatch JAX ops —
+# an eager jnp call per image is a device roundtrip (through the TPU tunnel
+# in production: measured 367 ms/image vs ~0.1 ms for the numpy twins).
+from poet_tpu.utils.quaternions import quat2rot_np as _quat2rot_np
+from poet_tpu.utils.quaternions import rot2quat_np as _rot2quat_np
+
+
+def load_image_rgb_f32(path: str) -> np.ndarray:
+    """Decode one image file to (H, W, 3) float32 [0,1] — native C++ decode
+    when available, PIL fallback. Shared by the inference/serving paths."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    native = _native_imagepipe()
+    if native is not None:
+        try:
+            return native.decode_image(blob).astype(np.float32) / 255.0
+        except ValueError:
+            pass
+    img = Image.open(BytesIO(blob)).convert("RGB")
+    return np.asarray(img, dtype=np.float32) / 255.0
 
 
 class PoseDataset:
@@ -109,13 +139,29 @@ class PoseDataset:
             with open(os.path.join(self.root, path), "rb") as f:
                 self.cache[path] = f.read()
 
-    def _get_image(self, path: str, mode: str = "RGB") -> Image.Image:
+    def _get_blob(self, path: str) -> bytes:
         if self.cache_mode:
             if path not in self.cache:
                 with open(os.path.join(self.root, path), "rb") as f:
                     self.cache[path] = f.read()
-            return Image.open(BytesIO(self.cache[path])).convert(mode)
-        return Image.open(os.path.join(self.root, path)).convert(mode)
+            return self.cache[path]
+        with open(os.path.join(self.root, path), "rb") as f:
+            return f.read()
+
+    def _get_image(self, path: str, mode: str = "RGB"):
+        """Decode one image: native C++ (libpng/libjpeg, GIL-free) when
+        available — RGB images stay uint8 ndarrays and only become PIL
+        objects if a PIL transform fires (transforms.to_pil); RGBA (synthetic
+        compositing) returns PIL since paste() needs it."""
+        blob = self._get_blob(path)
+        native = _native_imagepipe()
+        if native is not None:
+            try:
+                arr = native.decode_image(blob, 4 if mode == "RGBA" else 3)
+                return Image.fromarray(arr, "RGBA") if mode == "RGBA" else arr
+            except ValueError:
+                pass  # unknown/corrupt format: let PIL try
+        return Image.open(BytesIO(blob)).convert(mode)
 
     def _get_background(self, target_size, rng) -> Image.Image:
         """Random flip/crop/resize background (coco.py:83-104)."""
@@ -164,7 +210,7 @@ class PoseDataset:
 
     def _process(self, image, anno, image_id, info):
         """ProcessPoseData parity (pose_dataset.py:109-256)."""
-        w, h = image.size
+        h, w = image_hw(image)
         boxes = np.asarray([a["bbox"] for a in anno], np.float32).reshape(-1, 4)
         boxes[:, 2:] += boxes[:, :2]                       # xywh -> xyxy
         boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)

@@ -12,7 +12,27 @@ global `random` module, so the pipeline is seedable per (epoch, index).
 from __future__ import annotations
 
 import numpy as np
-from PIL import ImageEnhance, ImageFilter, ImageOps
+from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+
+
+def to_pil(img):
+    """Lazy ndarray -> PIL promotion.
+
+    The native decoder (poet_tpu.native.imagepipe) hands the pipeline uint8
+    HWC arrays; PIL objects are only materialized when a PIL-backed transform
+    actually fires (each has p <= 0.3), so the common path stays PIL-free.
+    """
+    if isinstance(img, np.ndarray):
+        return Image.fromarray(img)
+    return img
+
+
+def image_hw(img):
+    """(height, width) for either a PIL image or an HWC ndarray."""
+    if isinstance(img, np.ndarray):
+        return int(img.shape[0]), int(img.shape[1])
+    w, h = img.size
+    return h, w
 
 
 class Compose:
@@ -36,7 +56,7 @@ class RGBAugmentation:
     def __call__(self, img, target, rng):
         if rng.random() < self.p:
             factor = rng.uniform(*self.factor_range)
-            return self.function(img).enhance(factor=factor), target
+            return self.function(to_pil(img)).enhance(factor=factor), target
         return img, target
 
 
@@ -70,7 +90,7 @@ class Blur:
     def __call__(self, img, target, rng):
         if rng.random() < self.p:
             radius = int(rng.integers(self.factor_range[0], self.factor_range[1] + 1))
-            return img.filter(ImageFilter.GaussianBlur(radius=radius)), target
+            return to_pil(img).filter(ImageFilter.GaussianBlur(radius=radius)), target
         return img, target
 
 
@@ -83,7 +103,7 @@ class GrayScale:
 
     def __call__(self, img, target, rng):
         if rng.random() < self.p:
-            return ImageOps.grayscale(img), target
+            return ImageOps.grayscale(to_pil(img)), target
         return img, target
 
 
@@ -92,7 +112,9 @@ class ToArray:
     re-expanded to 3 channels (reference ToTensor + To3DImage)."""
 
     def __call__(self, img, target, rng):
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = np.asarray(img)
+        if arr.dtype != np.float32:
+            arr = arr.astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         return arr, target

@@ -11,12 +11,12 @@ import json
 import os
 import re
 import numpy as np
-from PIL import Image
 
 import jax
 import jax.numpy as jnp
 
 from poet_tpu.config import PoETConfig
+from poet_tpu.data.dataset import load_image_rgb_f32
 
 
 def _numeric_key(name: str):
@@ -53,8 +53,8 @@ def inference(model, params, cfg: PoETConfig):
     if params is None:
         from poet_tpu.engine.checkpoint import load_checkpoint, merge_params
 
-        img0 = Image.open(os.path.join(cfg.runtime.inference_path, files[0])).convert("RGB")
-        arr0 = np.asarray(img0, dtype=np.float32)[None] / 255.0
+        arr0 = load_image_rgb_f32(
+            os.path.join(cfg.runtime.inference_path, files[0]))[None]
         params = jax.jit(model.init)(
             jax.random.PRNGKey(cfg.runtime.seed), jnp.asarray(arr0),
             jnp.zeros(arr0.shape[:3], bool), None,
@@ -78,8 +78,8 @@ def inference(model, params, cfg: PoETConfig):
 
     results = {}
     for img_id, fname in enumerate(files):
-        img = Image.open(os.path.join(cfg.runtime.inference_path, fname)).convert("RGB")
-        arr = np.asarray(img, dtype=np.float32)[None] / 255.0
+        arr = load_image_rgb_f32(
+            os.path.join(cfg.runtime.inference_path, fname))[None]
         pad_mask = jnp.zeros(arr.shape[:3], bool)
         out = fwd(params, jnp.asarray(arr), pad_mask)
         n = int(np.asarray(out["n_boxes"])[0])

@@ -10,6 +10,7 @@ device), so the reference's per-row Python loop disappears.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def quat2rot(q: jnp.ndarray) -> jnp.ndarray:
@@ -62,6 +63,42 @@ def rot2quat(rots: jnp.ndarray) -> jnp.ndarray:
     v = V[..., :, -1]                         # eigenvector of largest eigenvalue
     q = jnp.stack([v[..., 3], v[..., 0], v[..., 1], v[..., 2]], axis=-1)
     return jnp.where(q[..., :1] < 0.0, -q, q)
+
+
+def quat2rot_np(q: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of `quat2rot` for the HOST data pipeline.
+
+    The input pipeline must never dispatch JAX ops: each eager jnp call from a
+    loader worker is a device roundtrip (through the TPU tunnel in production —
+    measured 367 ms/image before this split vs ~0.1 ms in numpy)."""
+    q0, q1, q2, q3 = np.moveaxis(np.asarray(q, np.float64), -1, 0)
+    rows = [
+        [2 * (q0 * q0 + q1 * q1) - 1, 2 * (q1 * q2 - q0 * q3), 2 * (q1 * q3 + q0 * q2)],
+        [2 * (q1 * q2 + q0 * q3), 2 * (q0 * q0 + q2 * q2) - 1, 2 * (q2 * q3 - q0 * q1)],
+        [2 * (q1 * q3 - q0 * q2), 2 * (q2 * q3 + q0 * q1), 2 * (q0 * q0 + q3 * q3) - 1],
+    ]
+    return np.stack([np.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def rot2quat_np(rots: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of `rot2quat` (host data pipeline — see quat2rot_np)."""
+    m = np.asarray(rots, np.float64)
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    K = np.stack(
+        [
+            np.stack([m00 - m11 - m22, m01 + m10, m02 + m20, m21 - m12], axis=-1),
+            np.stack([m01 + m10, m11 - m00 - m22, m12 + m21, m02 - m20], axis=-1),
+            np.stack([m02 + m20, m12 + m21, m22 - m00 - m11, m10 - m01], axis=-1),
+            np.stack([m21 - m12, m02 - m20, m10 - m01, m00 + m11 + m22], axis=-1),
+        ],
+        axis=-2,
+    ) / 3.0
+    _, V = np.linalg.eigh(K)
+    v = V[..., :, -1]
+    q = np.stack([v[..., 3], v[..., 0], v[..., 1], v[..., 2]], axis=-1)
+    return np.where(q[..., :1] < 0.0, -q, q)
 
 
 def quat_mult(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:

@@ -191,3 +191,86 @@ def test_converter_lmo_id_map(tmp_path):
     )
     assert len(res["annotations"]) == 1
     assert res["annotations"][0]["category_id"] == 2      # raw 5 -> lmo 2
+
+
+def test_native_and_pil_decode_paths_identical(mini_coco, rng, monkeypatch):
+    """The C++ decode fast path must be bit-identical to the PIL path through
+    the full dataset pipeline (decode -> transforms -> targets)."""
+    from poet_tpu import native as native_mod
+    if not native_mod.imagepipe_available():
+        pytest.skip("native imagepipe unavailable")
+    img_dir, ann_file, _ = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    ds = PoseDataset(
+        img_dir, ann_file,
+        transforms=make_pose_estimation_transform("train", True, True),
+    )
+    for idx in range(len(ds)):
+        monkeypatch.delenv("POET_TPU_DISABLE_NATIVE_DECODE", raising=False)
+        img_n, tgt_n = ds.__getitem__(idx, rng=np.random.default_rng(idx))
+        monkeypatch.setenv("POET_TPU_DISABLE_NATIVE_DECODE", "1")
+        img_p, tgt_p = ds.__getitem__(idx, rng=np.random.default_rng(idx))
+        np.testing.assert_array_equal(img_n, img_p)
+        assert img_n.dtype == np.float32
+        for k in tgt_n:
+            np.testing.assert_array_equal(np.asarray(tgt_n[k]), np.asarray(tgt_p[k]))
+
+
+def test_synthetic_rgba_composite(tmp_path, rng):
+    """'synt' images decode RGBA and composite onto a random background; the
+    native and PIL decode paths agree."""
+    img_dir = tmp_path / "imgs"
+    bg_dir = tmp_path / "bg"
+    img_dir.mkdir(); bg_dir.mkdir()
+    rgba = (rng.uniform(size=(48, 64, 4)) * 255).astype(np.uint8)
+    rgba[..., 3] = (rng.uniform(size=(48, 64)) > 0.5) * 255  # hard alpha mask
+    Image.fromarray(rgba, "RGBA").save(img_dir / "0.png")
+    bg = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(bg).save(bg_dir / "bg.png")
+    ann = {
+        "images": [{"id": 0, "file_name": "0.png", "width": 64, "height": 48,
+                    "type": "synt"}],
+        "annotations": [{"id": 0, "image_id": 0, "bbox": [5.0, 5.0, 12.0, 15.0],
+                         "area": 180.0, "iscrowd": 0, "category_id": 1}],
+        "categories": [],
+    }
+    ann_file = tmp_path / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+
+    ds = PoseDataset(str(img_dir), str(ann_file),
+                     synthetic_background=str(bg_dir))
+    img_n, _ = ds.__getitem__(0, rng=np.random.default_rng(3))
+    os.environ["POET_TPU_DISABLE_NATIVE_DECODE"] = "1"
+    try:
+        img_p, _ = ds.__getitem__(0, rng=np.random.default_rng(3))
+    finally:
+        del os.environ["POET_TPU_DISABLE_NATIVE_DECODE"]
+    img_n = np.asarray(img_n); img_p = np.asarray(img_p)
+    np.testing.assert_array_equal(img_n, img_p)
+    # alpha=0 pixels must show the background, alpha=255 the foreground
+    fg_mask = rgba[..., 3] == 255
+    np.testing.assert_array_equal(np.asarray(img_n)[fg_mask], rgba[fg_mask][:, :3])
+
+
+def test_numpy_quaternion_twins_match_jnp(rng):
+    """The host pipeline's pure-numpy rot2quat/quat2rot must match the device
+    versions (the data path must not dispatch JAX ops — see dataset.py)."""
+    import jax.numpy as jnp
+    from poet_tpu.utils import quaternions as Q
+
+    a = rng.normal(size=(20, 3, 3))
+    q_, r_ = np.linalg.qr(a)
+    q_ *= np.sign(np.diagonal(r_, axis1=1, axis2=2))[:, None, :]
+    det = np.linalg.det(q_)
+    q_[:, :, 0] *= det[:, None]
+    np.testing.assert_allclose(
+        Q.rot2quat_np(q_), np.asarray(Q.rot2quat(jnp.asarray(q_))), atol=1e-5
+    )
+    quats = Q.rot2quat_np(q_)
+    np.testing.assert_allclose(
+        Q.quat2rot_np(quats), np.asarray(Q.quat2rot(jnp.asarray(quats))), atol=1e-6
+    )
+    # roundtrip closes
+    np.testing.assert_allclose(Q.quat2rot_np(quats), q_, atol=1e-8)
