@@ -56,8 +56,8 @@ def get_args_parser():
                    choices=("sine", "learned"))
     p.add_argument("--position_embedding_scale", default=2 * math.pi, type=float)
     p.add_argument("--num_feature_levels", default=4, type=int)
-    # parsed-but-unused in the reference too (main.py:65-66 — no consumer on
-    # the maskrcnn path); accepted for flag compatibility
+    # parsed-but-unused in the reference too (DETR legacy: main.py:65-66 is
+    # consumed by no model file) — kept for flag compatibility only.
     p.add_argument("--dilation", action="store_true")
     # PoET (main.py:73-83)
     p.add_argument("--bbox_mode", default="gt", type=str,

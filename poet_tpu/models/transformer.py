@@ -158,14 +158,14 @@ class EncoderLayer(nn.Module):
                             impl=self.impl, dtype=self.dtype,
                             name="self_attn")(q, reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
         # FFN
         src2 = nn.Dense(self.d_ffn, name="linear1", dtype=self.dtype)(src)
         src2 = nn.relu(src2)
         src2 = nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         src2 = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(src2)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
-        src = nn.LayerNorm(name="norm2")(src)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
         return src
 
 
@@ -198,7 +198,7 @@ class DecoderLayer(nn.Module):
             name="self_attn",
         )(inputs_q=q, inputs_k=k, inputs_v=tgt)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
 
         # cross attention
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
@@ -206,7 +206,7 @@ class DecoderLayer(nn.Module):
                             name="cross_attn")(tgt + query_pos, reference_points, src,
                                                spatial_shapes, src_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
 
         # FFN
         tgt2 = nn.Dense(self.d_ffn, name="linear1", dtype=self.dtype)(tgt)
@@ -214,7 +214,7 @@ class DecoderLayer(nn.Module):
         tgt2 = nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
         tgt2 = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(tgt2)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        tgt = nn.LayerNorm(name="norm3")(tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
         return tgt
 
 
