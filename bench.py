@@ -32,6 +32,11 @@ def main():
 
     model = build_model(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
+    # bf16 weights at rest: removes ~1.2 ms/batch of in-program f32->bf16
+    # weight converts (bit-identical outputs; see utils/params.py)
+    from poet_tpu.utils.params import cast_params_for_inference
+
+    params = cast_params_for_inference(params)
 
     # Timing methodology (calibrated for the axon relay, where
     # block_until_ready returns early and identical requests can be served

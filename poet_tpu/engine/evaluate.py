@@ -166,6 +166,12 @@ def pose_evaluate(model, params, pose_evaluator, data_loader, cfg: PoETConfig,
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     pose_evaluator.reset()
+    if cfg.model.dtype == "bfloat16":
+        # bf16 weights at rest: bit-identical, drops the per-batch f32->bf16
+        # weight converts from the eval program (utils/params.py)
+        from poet_tpu.utils.params import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
     forward = make_eval_forward(model, cfg)
 
     print("Process validation dataset:")
@@ -214,6 +220,10 @@ def bop_evaluate(model, params, data_loader, cfg: PoETConfig, image_set: str,
     output_dir = output_dir or cfg.runtime.output_dir
     out_dir = os.path.join(output_dir, f"bop_{cfg.model.bbox_mode}") + "/"
     Path(out_dir).mkdir(parents=True, exist_ok=True)
+    if cfg.model.dtype == "bfloat16":
+        from poet_tpu.utils.params import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
     forward = make_eval_forward(model, cfg)
 
     file_names = {i: data_loader.dataset.file_name(i) for i in data_loader.dataset.ids}

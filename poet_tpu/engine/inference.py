@@ -74,6 +74,10 @@ def inference(model, params, cfg: PoETConfig):
             if unexpected:
                 print("Unexpected Keys:", unexpected)
 
+    if cfg.model.dtype == "bfloat16":
+        from poet_tpu.utils.params import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
     fwd = jax.jit(lambda p, i, m: model.apply(p, i, m, None, deterministic=True))
 
     results = {}

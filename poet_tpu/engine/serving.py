@@ -46,6 +46,12 @@ class PoseServer:
     def __init__(self, cfg: PoETConfig, params, batch_size: int = 1,
                  image_size=(480, 640), latency_window: int = 1000):
         self.cfg = cfg
+        if cfg.model.dtype == "bfloat16":
+            # bf16 weights at rest: bit-identical, removes per-call f32->bf16
+            # weight converts from the serving program (utils/params.py)
+            from poet_tpu.utils.params import cast_params_for_inference
+
+            params = cast_params_for_inference(params)
         self.params = params
         self.batch_size = batch_size
         self.image_size = tuple(image_size)

@@ -209,6 +209,47 @@ def test_bfloat16_compute_matches_f32(rng):
     assert ang.max() < 5.0
 
 
+def test_bf16_params_at_rest_bit_identical(rng):
+    """cast_params_for_inference must be a pure perf transform: the bf16
+    model's outputs are BIT-identical with cast vs f32-at-rest params (flax
+    would cast the same leaves to the same bf16 values in-program), f32-compute
+    islands (heads, sampling_offsets, ...) keep f32 leaves, and the f32 config
+    is a no-op."""
+    from flax import traverse_util
+
+    from poet_tpu.utils.params import cast_params_for_inference
+
+    cfg = tiny_config()
+    cfg.model.dtype = "bfloat16"
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    cast = cast_params_for_inference(params)
+
+    flat = traverse_util.flatten_dict(cast)
+    # bf16-compute kernels went bf16; f32 islands stayed f32
+    assert flat[next(k for k in flat if "encoder_layer_0" in k and
+                     "value_proj" in k and k[-1] == "kernel")].dtype == jnp.bfloat16
+    assert flat[next(k for k in flat if "fpn_body" in k and
+                     k[-1] == "kernel")].dtype == jnp.bfloat16
+    for k, v in flat.items():
+        if any(p in ("sampling_offsets", "attention_weights") or
+               p.startswith(("translation_head", "rotation_head")) for p in k):
+            assert v.dtype == jnp.float32, k
+        if v.ndim < 2:
+            assert v.dtype == jnp.float32, k
+
+    out_f32_rest = model.apply(params, images, pad_mask, targets)
+    out_b16_rest = model.apply(cast, images, pad_mask, targets)
+    for key in ("translations", "rotations"):
+        np.testing.assert_array_equal(np.asarray(out_f32_rest[key]),
+                                      np.asarray(out_b16_rest[key]))
+
+    cfg32 = tiny_config()
+    p32 = build_model(cfg32).init(jax.random.PRNGKey(0), images, pad_mask, targets)
+    assert cast_params_for_inference(p32, jnp.float32) is p32
+
+
 @pytest.mark.slow
 def test_fused_enc_impl_reaches_the_graph_and_matches_sep(rng):
     """Regression: cfg.model.enc_deform_impl (NOT a root-config attr) must
