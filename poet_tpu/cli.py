@@ -140,6 +140,11 @@ def get_args_parser():
                             "sep_cv", "pallas"),
                    help="encoder deformable-sampling core (extension; "
                         "default = config.py enc_deform_impl)")
+    p.add_argument("--enc_remat", default="auto", type=str,
+                   choices=("auto", "on", "off"),
+                   help="rematerialize encoder layers in the backward pass "
+                        "(auto: on for one-hot/XLA sampling cores, off for "
+                        "'fused' whose custom VJP keeps residuals small)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
     return p
@@ -191,6 +196,7 @@ def args_to_config(args) -> PoETConfig:
     m.dtype = args.dtype
     if getattr(args, "enc_deform_impl", None):
         m.enc_deform_impl = args.enc_deform_impl
+    m.enc_remat = getattr(args, "enc_remat", "auto")
     cfg.profile_dir = getattr(args, "profile_dir", None)
     return cfg
 

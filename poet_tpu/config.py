@@ -98,6 +98,18 @@ class ModelConfig:
     # fastest measured: 6 ms/layer vs 19 ms 'mxu' at bs=16) | 'mxu' | 'patch'
     # | 'gather' | 'pallas'
     enc_deform_impl: str = "sep"
+    # Rematerialize encoder layers in the backward pass: 'auto' | 'on' | 'off'.
+    # 'auto' remats for the one-hot/XLA formulations (their autodiff residuals
+    # — one-hot select predicates at Q = S tokens — were measured to want
+    # 64 GB HBM at bs=16) but NOT for 'fused', whose custom VJP keeps only the
+    # kernel inputs as residuals (~0.3 GB/layer) and re-running the 3.6 ms
+    # forward kernel per layer in the backward is pure waste.
+    enc_remat: str = "auto"
+
+    def enc_remat_enabled(self) -> bool:
+        if self.enc_remat == "auto":
+            return self.enc_deform_impl != "fused"
+        return self.enc_remat == "on"
 
     @property
     def rot_dim(self) -> int:
