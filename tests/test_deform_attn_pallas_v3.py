@@ -106,3 +106,24 @@ def test_v3_bf16_close_to_f32(rng):
         jnp.asarray(value, jnp.bfloat16), shapes,
         jnp.asarray(locs), jnp.asarray(w)).astype(jnp.float32))
     np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+@pytest.mark.slow
+def test_v3_wide_first_level(rng):
+    """YOLOv4-pyramid-like geometry: a wide (Wl=80) stride-8 first level.
+
+    The production yolo path (strides 8/16/32 + extra 64) runs the kernel at
+    level widths up to 80 — wider than the rcnn pyramid's 40 — which changes
+    the x-mix dot K dimension and the value pre-arrangement tiling. Verified
+    exact on the real chip at full S=6380 (fwd 3e-7, grads <2e-6 rel); this
+    keeps a scaled-down CPU guard in the suite.
+    """
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
+
+    value, shapes, locs, w = _make_inputs(
+        rng, B=1, Q=8, H=2, D=8, shapes=((12, 80), (6, 40), (3, 20)))
+    a = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn_pallas_v3(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
+    np.testing.assert_allclose(a, b, atol=2e-5)

@@ -284,3 +284,42 @@ def test_fused_enc_impl_reaches_the_graph_and_matches_sep(rng):
     np.testing.assert_allclose(np.asarray(out_f["rotations"]),
                                np.asarray(out_s["rotations"]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_enc_remat_config_logic():
+    from poet_tpu.config import PoETConfig
+
+    cfg = PoETConfig()
+    cfg.model.enc_deform_impl = "sep"
+    assert cfg.model.enc_remat_enabled()            # auto -> on for XLA cores
+    cfg.model.enc_deform_impl = "fused"
+    assert not cfg.model.enc_remat_enabled()        # auto -> off for custom VJP
+    cfg.model.enc_remat = "on"
+    assert cfg.model.enc_remat_enabled()
+    cfg.model.enc_remat = "off"
+    cfg.model.enc_deform_impl = "sep"
+    assert not cfg.model.enc_remat_enabled()
+
+
+def test_enc_remat_gradients_match():
+    """Remat must not change gradients — only backward-pass scheduling."""
+    rng = np.random.default_rng(7)
+    images, pad, targets = make_batch(rng, B=1, Q=5, H=64, W=64)
+
+    def grads(enc_remat):
+        cfg = tiny_config()
+        cfg.model.enc_remat = enc_remat
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), images, pad, targets)
+
+        def loss(p):
+            out = model.apply(p, images, pad, targets, deterministic=True)
+            return (jnp.mean(out["translations"] ** 2)
+                    + jnp.mean(out["rotations"] ** 2))
+
+        return jax.grad(loss)(params)
+
+    ga = grads("on")
+    gb = grads("off")
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
