@@ -433,11 +433,12 @@ def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
 # ---------------------------------------------------------------------------
 # Mesh partitioning: a pallas_call is opaque to GSPMD/Shardy, so without help
 # a sharded caller would all-gather every operand. The op is embarrassingly
-# parallel over batch (b) and heads (h) — and, forward-only, over queries (q)
-# — so custom_partitioning declares exactly that. The spatial token axis (s)
-# must be replicated (every query may sample anywhere); the backward also
-# replicates q because d_value sums over queries (a q-shard would need a
-# cross-shard reduction, which the sharding rule cannot express one-sided).
+# parallel over batch (b), heads (h), and queries (q) — so
+# custom_partitioning declares exactly that. The spatial token axis (s) must
+# be replicated (every query may sample anywhere). In the backward, d_value
+# sums over queries, so under q (sequence-parallel) sharding each shard
+# computes a partial d_value and the partition impl psums it over the q mesh
+# axes; d_loc/d_attn stay q-sharded.
 # ---------------------------------------------------------------------------
 
 from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
@@ -496,44 +497,63 @@ def _sharded_bwd(spatial_shapes):
 
     f = custom_partitioning(_impl)
 
-    def _bh(arg_shapes):
+    def _bhq(arg_shapes):
         value_s, loc_s, attn_s, dout_s = arg_shapes
         b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0)
              or _axis_at(dout_s, 0))
         h = _axis_at(value_s, 2) or _axis_at(loc_s, 2)
-        return b, h
+        q = (_axis_at(loc_s, 1) or _axis_at(attn_s, 1)
+             or _axis_at(dout_s, 1))
+        return b, h, q
 
     def infer(mesh, arg_shapes, result_shape):
-        b, h = _bh(arg_shapes)
+        b, h, q = _bhq(arg_shapes)
         return (
             NamedSharding(mesh, PartitionSpec(b, None, h, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h, None, None, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None)),
         )
 
     def partition(mesh, arg_shapes, result_shape):
-        b, h = _bh(arg_shapes)
+        b, h, q = _bhq(arg_shapes)
+        # Sequence-parallel (q-sharded) shards each compute d_value for their
+        # own queries against the full (replicated) token axis; the true
+        # d_value is the sum over query shards — one psum over the q mesh
+        # axes, emitted here so the declared (q-replicated) out sharding is
+        # already satisfied and the partitioner inserts no extra collective.
+        q_axes = (q,) if isinstance(q, str) else tuple(q or ())
+
+        def impl(value, loc, attn, dout):
+            d_value, d_loc, d_attn = _v3_bwd_impl(value, loc, attn, dout,
+                                                  spatial_shapes)
+            if q_axes:
+                d_value = jax.lax.psum(d_value, q_axes)
+            return d_value, d_loc, d_attn
+
         arg_sh = (
             NamedSharding(mesh, PartitionSpec(b, None, h, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h, None, None, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h, None, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h)),
         )
         out_sh = (
             NamedSharding(mesh, PartitionSpec(b, None, h, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h, None, None, None)),
-            NamedSharding(mesh, PartitionSpec(b, None, h, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, q, h, None, None)),
         )
-        return mesh, _impl, out_sh, arg_sh
+        return mesh, impl, out_sh, arg_sh
 
     f.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
         # NB: special factors must be listed in first-appearance order
-        # (Shardy verifier: "indices of special factors must be sorted")
+        # (Shardy verifier: "indices of special factors must be sorted").
+        # `q` is a passthrough factor (d_loc/d_attn keep the query sharding);
+        # d_value has no q dimension and the partition impl supplies the
+        # cross-shard reduction itself.
         sharding_rule=("b s h d, b q h l p two, b q h l p, b q (h d) "
                        "-> b s h d, b q h l p two, b q h l p"),
-        need_replication_factors=("s", "q", "l", "p", "two"),
+        need_replication_factors=("s", "l", "p", "two"),
     )
     return f
 
@@ -570,8 +590,9 @@ def ms_deform_attn_fused(value, spatial_shapes, sampling_locations,
     """`ms_deform_attn_pallas_v3` with the fused Pallas backward.
 
     Under an active mesh (`jax.set_mesh`) both passes carry
-    custom_partitioning rules: batch and head axes shard cleanly; the token
-    axis `s` (and, in the backward, `q`) is declared need-replication.
+    custom_partitioning rules: batch, head, and query (sequence-parallel)
+    axes shard cleanly (the backward psums the query-partial d_value); only
+    the token axis `s` is declared need-replication.
     """
     return ms_deform_attn_pallas_v3(
         value, spatial_shapes, sampling_locations, attention_weights)

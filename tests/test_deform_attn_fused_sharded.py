@@ -120,3 +120,61 @@ def test_fused_data_only_sharding(rng):
         out = jax.jit(lambda v, l, a: v3.ms_deform_attn_fused(v, SHAPES, l, a))(
             vs, ls, as_)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_fwd_query_sharded(rng):
+    """Sequence-parallel: the query/token axis sharded in the forward."""
+    value, loc, attn = _inputs(rng, B=2, Q=16)
+    ref = ms_deform_attn_xla(value, SHAPES, loc, attn)
+
+    mesh = _mesh()  # ('data', 'model') = (4, 2)
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P(None, None, "model", None)))
+        ls = jax.device_put(loc, NamedSharding(mesh, P(None, "data", "model", None, None, None)))
+        as_ = jax.device_put(attn, NamedSharding(mesh, P(None, "data", "model", None, None)))
+        out = jax.jit(lambda v, l, a: v3.ms_deform_attn_fused(v, SHAPES, l, a))(
+            vs, ls, as_)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_grads_query_sharded(rng):
+    """q-sharded backward: d_loc/d_attn stay sharded, d_value is psummed."""
+    value, loc, attn = _inputs(rng, B=2, Q=16)
+
+    def loss(fn):
+        return lambda v, l, a: jnp.sum(jnp.sin(3.0 * fn(v, SHAPES, l, a)))
+
+    gr = jax.grad(loss(ms_deform_attn_xla), argnums=(0, 1, 2))(value, loc, attn)
+
+    mesh = _mesh()
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P(None, None, "model", None)))
+        ls = jax.device_put(loc, NamedSharding(mesh, P(None, "data", "model", None, None, None)))
+        as_ = jax.device_put(attn, NamedSharding(mesh, P(None, "data", "model", None, None)))
+        gv = jax.jit(jax.grad(loss(v3.ms_deform_attn_fused),
+                              argnums=(0, 1, 2)))(vs, ls, as_)
+    for a, b in zip(gr, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_grads_batch_query_head_sharded(rng):
+    """All three parallel axes at once (dp x sp x tp shape of the train mesh)."""
+    value, loc, attn = _inputs(rng, B=4, Q=16)
+
+    def loss(fn):
+        return lambda v, l, a: jnp.sum(jnp.sin(3.0 * fn(v, SHAPES, l, a)))
+
+    gr = jax.grad(loss(ms_deform_attn_xla), argnums=(0, 1, 2))(value, loc, attn)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "seq", "model"))
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P("data", None, "model", None)))
+        ls = jax.device_put(loc, NamedSharding(mesh, P("data", "seq", "model", None, None, None)))
+        as_ = jax.device_put(attn, NamedSharding(mesh, P("data", "seq", "model", None, None)))
+        gv = jax.jit(jax.grad(loss(v3.ms_deform_attn_fused),
+                              argnums=(0, 1, 2)))(vs, ls, as_)
+    for a, b in zip(gr, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
