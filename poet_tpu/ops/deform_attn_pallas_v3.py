@@ -245,69 +245,33 @@ def ms_deform_attn_pallas_v3(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
-                     spatial_shapes, H, D, dtype):
-    """d_value per level: dvT_l[h] += sum_p (ay-weighted dout) @ bxT_p^T.
+def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
+                spatial_shapes, H, D, dtype, n_qt):
+    """Fused adjoint: d_value, d_loc (pixel-space d_tx/d_ty) and d_attn in
+    ONE kernel. Merging the former separate d_value / d_loc kernels shares
+    the corner-operator construction and the g-recompute dot (each was built
+    twice) and reads the coord/cotangent blocks once — measured 8.1 ->
+    ~5 ms/layer at the paper config.
 
-    dvT[(y,d), x] = Σ_{q,p} ay[p, y, q] * dout[d, q] * bxT[x, q]
-    computed as an MXU dot with K = Qt (full K utilization): for each p,
-    lhs[(y,d), q] = ay-expanded * dout, rhs = bxT^T. Accumulates over the
-    q-tile grid axis (output blocks revisited, q innermost).
+      gT / dgxT  = vT @ [bxT | dbxT]          (one MXU dot, K = Wl)
+      d_value:   dvT[(y,d), x] += Σ_{q,p} ay[p,y,q]·dout[d,q]·bxT[x,q]
+                 — a K = P*Qt dot with the point-sum built in, accumulated
+                 over the q grid axis in an f32 VMEM scratch and written to
+                 the (possibly bf16) output once, at the last q step.
+      E[y, q]    = Σ_d gT · dout              (VPU sublane-group reduce)
+      d_attn     = Σ_y wyT · E
+      d_ty       = a · Σ_y dwyT · E
+      d_tx       = Σ_y ay · (Σ_d dgxT · dout)
     """
+    L = len(spatial_shapes)
+    vT_refs = rest[:L]
+    dv_refs = rest[L : 2 * L]
+    dtx_ref, dty_ref, da_ref = rest[2 * L : 2 * L + 3]
+    dv_accs = rest[2 * L + 3 : 3 * L + 3]     # f32 VMEM scratch per level
     q_idx = pl.program_id(2)
 
     def head_body(h, _):
         do = do_ref[0, h]                                # (D, Qt) f32
-        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, lvl, h]
-            y = yb_ref[0, lvl, h]
-            a = ab_ref[0, lvl, h]
-            P = x.shape[0]
-            Qt = x.shape[1]
-            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
-                               Hl, Wl, Qt) for p in range(P)]
-            # dg[(y,d), q] = ay[y, q] * dout[d, q]   (VMEM only); the lane
-            # concat over points turns the q-contraction into K = P*Qt with
-            # the point-sum built into the dot.
-            dg_all = jnp.concatenate(
-                [(o[2][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
-                 for o in ops], axis=1)                  # (Hl*D, P*Qt)
-            bxT_all = jnp.concatenate([o[0] for o in ops], axis=1)
-            acc = _dot(dg_all.astype(dtype), bxT_all.astype(dtype),
-                       (((1,), (1,)), ((), ())), dtype)  # (Hl*D, Wl)
-
-            @pl.when(q_idx == 0)
-            def _init():
-                dv_refs[lvl][0, h] = acc
-
-            @pl.when(q_idx != 0)
-            def _accum():
-                dv_refs[lvl][0, h] += acc
-        return 0
-
-    # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
-    # fori_loop at the paper config (Mosaic schedules across iterations)
-    for h in range(H):
-        head_body(h, 0)
-
-
-def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
-                     spatial_shapes, H, D, dtype):
-    """d_loc (pixel-space d_tx, d_ty) and d_attn per (level, point).
-
-    Recomputes gT (and the difference-operator variant) in VMEM:
-      E[y, q]   = Σ_d ay-free gT * dout   (VPU)
-      d_attn    = Σ_y wyT * E
-      d_ty      = a * Σ_y dwyT * E
-      d_tx      = Σ_y ay * (Σ_d dgxT * dout)  with dgxT = vT @ dbxT.
-    """
-    # rest = (*vT_levels, dtx_ref, dty_ref, da_ref)
-    L = len(spatial_shapes)
-    vT_refs = rest[:L]
-    dtx_ref, dty_ref, da_ref = rest[L], rest[L + 1], rest[L + 2]
-
-    def head_body(h, _):
-        do = do_ref[0, h]                                # (D, Qt)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
             x = xb_ref[0, lvl, h]
             y = yb_ref[0, lvl, h]
@@ -323,6 +287,29 @@ def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
                 [o[0] for o in ops] + [o[1] for o in ops], axis=1)
             g_cat = _dot(vT, bx_cat.astype(dtype),
                          (((1,), (0,)), ((), ())), dtype)  # (Hl*D, 2*P*Qt)
+
+            # ---- d_value (accumulated over the q grid axis in f32) ----
+            # dg[(y,d), q] = ay[y, q] * dout[d, q]   (VMEM only)
+            dg_all = jnp.concatenate(
+                [(o[2][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
+                 for o in ops], axis=1)                  # (Hl*D, P*Qt)
+            acc = _dot(dg_all.astype(dtype),
+                       bx_cat[:, : P * Qt].astype(dtype),
+                       (((1,), (1,)), ((), ())), dtype)  # (Hl*D, Wl)
+
+            @pl.when(q_idx == 0)
+            def _init():
+                dv_accs[lvl][h] = acc
+
+            @pl.when(q_idx != 0)
+            def _accum():
+                dv_accs[lvl][h] += acc
+
+            @pl.when(q_idx == n_qt - 1)
+            def _emit():
+                dv_refs[lvl][0, h] = dv_accs[lvl][h].astype(dv_refs[lvl].dtype)
+
+            # ---- d_loc / d_attn (per q tile) ----
             for p in range(P):
                 _, _, ayT, wyT, dwyT = ops[p]
                 gT = g_cat[:, p * Qt : (p + 1) * Qt].reshape(Hl, D, Qt)
@@ -372,22 +359,33 @@ def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
         for Hl, Wl in spatial_shapes
     ]
 
-    # --- d_value: one kernel, output blocks accumulated over the q axis ---
-    dv_levels = pl.pallas_call(
-        functools.partial(_bwd_dval_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=dtype),
+    # --- fused adjoint: d_value + d_loc + d_attn in one kernel ---
+    grad_spec = pl.BlockSpec(
+        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spatial_shapes=spatial_shapes,
+                          H=Hg, D=D, dtype=dtype, n_qt=n_qt),
         grid=grid,
-        in_specs=[coord_spec, coord_spec, coord_spec, do_spec],
+        in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
         out_specs=[
-            pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for Hl, Wl in spatial_shapes
+            *[pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for Hl, Wl in spatial_shapes],
+            grad_spec, grad_spec, grad_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Hl * D, Wl), _F32)
-            for Hl, Wl in spatial_shapes
+            *[jax.ShapeDtypeStruct((B, H, Hl * D, Wl), dtype)
+              for Hl, Wl in spatial_shapes],
+            *[jax.ShapeDtypeStruct((B, L, H, P, Q_pad), _F32)
+              for _ in range(3)],
         ],
-    )(xb, yb, ab, do)
+        scratch_shapes=[
+            pltpu.VMEM((Hg, Hl * D, Wl), _F32) for Hl, Wl in spatial_shapes
+        ],
+    )(xb, yb, ab, do, *vT_levels)
+    dv_levels = outs[:L]
+    dtx, dty, da = outs[L], outs[L + 1], outs[L + 2]
 
     # undo the vT layout: (B, H, Hl*D, Wl) -> (B, Hl*Wl, H, D)
     d_value_parts = []
@@ -395,23 +393,7 @@ def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
         d_value_parts.append(
             dv.reshape(B, H, Hl, D, Wl).transpose(0, 2, 4, 1, 3)
             .reshape(B, Hl * Wl, H, D))
-    d_value = jnp.concatenate(d_value_parts, axis=1).astype(dtype)
-
-    # --- d_loc / d_attn ---
-    grad_spec = pl.BlockSpec(
-        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
-        memory_space=pltpu.VMEM)
-    dtx, dty, da = pl.pallas_call(
-        functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=dtype),
-        grid=grid,
-        in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
-        out_specs=[grad_spec, grad_spec, grad_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L, H, P, Q_pad), _F32)
-            for _ in range(3)
-        ],
-    )(xb, yb, ab, do, *vT_levels)
+    d_value = jnp.concatenate(d_value_parts, axis=1)
 
     # (B, L, H, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5.
     # Per-level Python-scalar scaling (array consts break custom_partitioning).
