@@ -136,7 +136,7 @@ def get_args_parser():
                         "memory, second moment stays f32)")
     p.add_argument("--dtype", default="float32", type=str)
     p.add_argument("--enc_deform_impl", default=None, type=str,
-                   choices=("sep", "fused", "mxu", "patch", "gather",
+                   choices=("auto", "sep", "fused", "mxu", "patch", "gather",
                             "sep_cv", "pallas"),
                    help="encoder deformable-sampling core (extension; "
                         "default = config.py enc_deform_impl)")

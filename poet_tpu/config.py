@@ -15,6 +15,20 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
 
+def _default_backend_is_tpu() -> bool:
+    """True iff jax's default backend is a TPU (incl. tunneled plugins whose
+    platform string differs but whose device_kind says TPU). Lazy import:
+    poet_tpu.data's loader workers import config without touching jax."""
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        return ("tpu" in dev.platform.lower()
+                or "tpu" in getattr(dev, "device_kind", "").lower())
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
 @dataclass
 class OptimConfig:
     # Reference: main.py:38-50
@@ -94,10 +108,13 @@ class ModelConfig:
     n_classes: int = 21
     # transformer compute dtype; params stay f32 (mixed precision)
     dtype: str = "float32"
-    # encoder deformable-sampling core: 'sep' (separable one-hot matmuls,
-    # fastest measured: 6 ms/layer vs 19 ms 'mxu' at bs=16) | 'mxu' | 'patch'
-    # | 'gather' | 'pallas'
-    enc_deform_impl: str = "sep"
+    # encoder deformable-sampling core: 'auto' (fused Pallas kernel on a TPU
+    # backend — the fastest measured path — falling back to 'sep' anywhere
+    # Pallas can't compile: CPU meshes, dryruns, interpret-free tests) |
+    # 'fused' | 'sep' (separable one-hot matmuls, fastest pure-XLA path:
+    # 6 ms/layer vs 19 ms 'mxu' at bs=16; runs identically on every backend)
+    # | 'mxu' | 'patch' | 'gather' | 'pallas' | 'sep_cv'
+    enc_deform_impl: str = "auto"
     # Rematerialize encoder layers in the backward pass: 'auto' | 'on' | 'off'.
     # 'auto' remats for the one-hot/XLA formulations (their autodiff residuals
     # — one-hot select predicates at Q = S tokens — were measured to want
@@ -106,9 +123,21 @@ class ModelConfig:
     # forward kernel per layer in the backward is pure waste.
     enc_remat: str = "auto"
 
+    def resolved_enc_deform_impl(self) -> str:
+        """'auto' -> 'fused' iff the default JAX backend is a TPU.
+
+        Resolution is deliberately lazy (at model-build time, after the
+        caller has picked a platform): the multi-chip dryrun and the CPU
+        test mesh force jax_platforms=cpu first, so they resolve to 'sep'
+        without any configuration.
+        """
+        if self.enc_deform_impl != "auto":
+            return self.enc_deform_impl
+        return "fused" if _default_backend_is_tpu() else "sep"
+
     def enc_remat_enabled(self) -> bool:
         if self.enc_remat == "auto":
-            return self.enc_deform_impl != "fused"
+            return self.resolved_enc_deform_impl() != "fused"
         return self.enc_remat == "on"
 
     @property

@@ -149,7 +149,7 @@ class PoET(nn.Module):
             dec_n_points=cfg.dec_n_points,
             enc_n_points=cfg.enc_n_points,
             dtype=compute_dtype,
-            enc_impl=cfg.enc_deform_impl,
+            enc_impl=cfg.resolved_enc_deform_impl(),
             remat=cfg.enc_remat_enabled(),
             name="transformer",
         )(srcs, masks, pos, query_embeds, reference_points, deterministic)

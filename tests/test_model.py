@@ -301,6 +301,27 @@ def test_enc_remat_config_logic():
     assert not cfg.model.enc_remat_enabled()
 
 
+def test_enc_deform_impl_auto_resolution(monkeypatch):
+    """Default 'auto' resolves by backend: fused on TPU, sep elsewhere.
+
+    The CPU suite exercises the real jax path (cpu backend -> 'sep'); the
+    TPU branch is pinned by monkeypatching the backend probe."""
+    import poet_tpu.config as config_mod
+    from poet_tpu.config import PoETConfig
+
+    cfg = PoETConfig()
+    assert cfg.model.enc_deform_impl == "auto"
+    assert cfg.model.resolved_enc_deform_impl() == "sep"  # cpu backend
+    assert cfg.model.enc_remat_enabled()
+
+    monkeypatch.setattr(config_mod, "_default_backend_is_tpu", lambda: True)
+    assert cfg.model.resolved_enc_deform_impl() == "fused"
+    assert not cfg.model.enc_remat_enabled()    # custom VJP -> no remat
+
+    cfg.model.enc_deform_impl = "mxu"           # explicit choice wins
+    assert cfg.model.resolved_enc_deform_impl() == "mxu"
+
+
 def test_enc_remat_gradients_match():
     """Remat must not change gradients — only backward-pass scheduling."""
     rng = np.random.default_rng(7)
