@@ -233,6 +233,17 @@ def export_model(cfg: PoETConfig, params, path: str, batch_size: int = 1,
 
     import orbax.checkpoint as ocp
 
+    if cfg.model.enc_deform_impl == "auto":
+        # The artifact must run on every platform it declares; 'auto' would
+        # bake the TPU-only Pallas custom call in when exporting from a TPU
+        # host. Pin the pure-XLA separable path, which lowers everywhere.
+        # An explicit --enc_deform_impl fused (+ platforms=("tpu",)) still
+        # exports the kernel path if the user asks for it.
+        import copy
+
+        cfg = copy.deepcopy(cfg)
+        cfg.model.enc_deform_impl = "sep"
+
     model = build_model(cfg)
     B, (H, W) = batch_size, tuple(image_size)
     Q = cfg.model.num_queries
