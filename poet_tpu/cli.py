@@ -145,6 +145,10 @@ def get_args_parser():
                    help="rematerialize encoder layers in the backward pass "
                         "(auto: on for one-hot/XLA sampling cores, off for "
                         "'fused' whose custom VJP keeps residuals small)")
+    p.add_argument("--rng_impl", default="threefry2x32", type=str,
+                   choices=("threefry2x32", "rbg"),
+                   help="jax PRNG implementation (extension; 'rbg' generates "
+                        "dropout masks ~10x cheaper on the TPU VPU)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
     return p
@@ -191,7 +195,7 @@ def args_to_config(args) -> PoETConfig:
     e.model_symmetry = args.model_symmetry
     for k in ("inference", "inference_path", "inference_output", "save_interval",
               "output_dir", "seed", "resume", "start_epoch", "eval", "eval_bop",
-              "mesh_data", "dtype", "zero_opt_state"):
+              "mesh_data", "dtype", "zero_opt_state", "rng_impl"):
         setattr(r, k, getattr(args, k))
     m.dtype = args.dtype
     if getattr(args, "enc_deform_impl", None):
@@ -222,6 +226,9 @@ def main(cfg: PoETConfig):
     # the TPU runtime provides one process per host; initialize() wires them.
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+
+    if cfg.runtime.rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", cfg.runtime.rng_impl)
 
     # seed (main.py:198-202; per-process offset)
     seed = cfg.runtime.seed + jax.process_index()

@@ -276,3 +276,24 @@ def test_mu_bf16_moments(setup):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], losses
+
+
+def test_rbg_prng_train_step(setup):
+    """--rng_impl rbg (cheap TPU dropout-mask generation) must train: keys
+    created under jax_default_prng_impl='rbg' flow through the step's
+    fold_in/split/dropout chain and produce finite losses."""
+    cfg, model, (images, pad_mask, targets) = setup
+    prev = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+        tx = make_optimizer(cfg, params, steps_per_epoch=10)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, cfg, tx, donate=False)
+        for i in range(2):
+            state, metrics = step(state, images, pad_mask, targets,
+                                  jax.random.PRNGKey(i))
+            assert np.isfinite(float(metrics["loss"]))
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
