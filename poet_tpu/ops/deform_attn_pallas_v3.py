@@ -250,8 +250,9 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
     """Fused adjoint: d_value, d_loc (pixel-space d_tx/d_ty) and d_attn in
     ONE kernel. Merging the former separate d_value / d_loc kernels shares
     the corner-operator construction and the g-recompute dot (each was built
-    twice) and reads the coord/cotangent blocks once — measured 8.1 ->
-    ~5 ms/layer at the paper config.
+    twice) and reads the coord/cotangent blocks once. The two-kernel adjoint
+    measured 8.1 ms/layer at the paper config (train-step xplane profile);
+    the shared work bounds the merged kernel's win at roughly a third.
 
       gT / dgxT  = vT @ [bxT | dbxT]          (one MXU dot, K = Wl)
       d_value:   dvT[(y,d), x] += Σ_{q,p} ay[p,y,q]·dout[d,q]·bxT[x,q]
