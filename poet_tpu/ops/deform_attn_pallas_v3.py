@@ -42,6 +42,7 @@ autodiff's g-sized HBM round-trips survive.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -55,18 +56,21 @@ _F32 = jnp.float32
 _QT = 128  # query lane tile
 
 
-def _dot(a, b, dims, dtype):
+def _dot(a, b, dims, dtype, out_dtype=None):
     """dot_general with full f32 precision when the operands are f32.
 
     On TPU the MXU's default precision for f32 operands is reduced (bf16
     passes) — measured 2.6e-3 absolute error vs the XLA reference at encoder
     shapes. bf16 operands are exact by construction (native MXU dtype with
-    f32 accumulation), so they keep the fast path.
+    f32 accumulation), so they keep the fast path. out_dtype overrides the
+    f32 result type (the MXU emits bf16 directly — accumulation stays f32
+    inside the unit — which skips a full repack pass when the consumer is
+    packed bf16 VPU math).
     """
     precision = (jax.lax.Precision.HIGHEST if dtype == _F32
                  else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(a, b, dimension_numbers=dims,
-                               preferred_element_type=_F32,
+                               preferred_element_type=out_dtype or _F32,
                                precision=precision)
 
 
@@ -160,10 +164,16 @@ def _corner_ops(x_p, y_p, a_p, Hl, Wl, Qt):
     return bxT, dbxT, wyT * a_p, wyT, dwyT
 
 
-def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype):
+def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
+                ymix_bf16):
     vT_refs = rest[:-1]
     out_ref = rest[-1]
     Qt = out_ref.shape[-1]
+    # bf16 path: run the y-mix multiply/reduce — the kernel's measured VPU
+    # floor — in packed bf16 (16 sublanes/vreg, half the vector ops of f32).
+    # Numerically safe: the y-operator has exactly two nonzero rows per
+    # query, so the bf16 "accumulation" over Hl adds two products and zeros.
+    g_dtype = jnp.bfloat16 if ymix_bf16 else _F32
 
     def head_body(h, _):
         acc = jnp.zeros((D, Qt), _F32)
@@ -180,11 +190,14 @@ def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype):
             # MXU pipeline fill that four N=Qt dots pay separately.
             bxT_all = jnp.concatenate([o[0] for o in ops], axis=1)
             gT_all = _dot(vT, bxT_all.astype(dtype),
-                          (((1,), (0,)), ((), ())), dtype)  # (Hl*D, P*Qt)
+                          (((1,), (0,)), ((), ())), dtype,
+                          out_dtype=g_dtype)             # (Hl*D, P*Qt)
             for p in range(P):
                 gT = gT_all[:, p * Qt : (p + 1) * Qt]
-                acc = acc + jnp.sum(
-                    gT.reshape(Hl, D, Qt) * ops[p][2][:, None, :], axis=0)
+                part = jnp.sum(
+                    gT.reshape(Hl, D, Qt)
+                    * ops[p][2].astype(g_dtype)[:, None, :], axis=0)
+                acc = acc + part.astype(_F32)
         out_ref[0, h] = acc
         return 0
 
@@ -226,9 +239,12 @@ def ms_deform_attn_pallas_v3(
                      memory_space=pltpu.VMEM)
         for Hl, Wl in spatial_shapes
     ]
+    ymix_bf16 = (value.dtype == jnp.bfloat16
+                 and os.environ.get("POET_V3_YMIX_BF16", "1") != "0")
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=value.dtype),
+                          H=Hg, D=D, dtype=value.dtype,
+                          ymix_bf16=ymix_bf16),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, *v_specs],
         out_specs=pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
