@@ -262,7 +262,7 @@ def ms_deform_attn_pallas_v3(
 
 
 def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
-                spatial_shapes, H, D, dtype, n_qt):
+                spatial_shapes, H, D, dtype, n_qt, ymix_bf16):
     """Fused adjoint: d_value, d_loc (pixel-space d_tx/d_ty) and d_attn in
     ONE kernel. Merging the former separate d_value / d_loc kernels shares
     the corner-operator construction and the g-recompute dot (each was built
@@ -287,8 +287,14 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
     dv_accs = rest[2 * L + 3 : 3 * L + 3]     # f32 VMEM scratch per level
     q_idx = pl.program_id(2)
 
+    # packed-bf16 dg construction: same trick as the forward's y-mix (the
+    # ay row-operator has two nonzero rows, so bf16 products lose one
+    # rounding, and the d_value dot accumulates f32 inside the MXU anyway).
+    dg_dtype = jnp.bfloat16 if ymix_bf16 else _F32
+
     def head_body(h, _):
         do = do_ref[0, h]                                # (D, Qt) f32
+        do_g = do.astype(dg_dtype)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
             x = xb_ref[0, lvl, h]
             y = yb_ref[0, lvl, h]
@@ -308,7 +314,8 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
             # ---- d_value (accumulated over the q grid axis in f32) ----
             # dg[(y,d), q] = ay[y, q] * dout[d, q]   (VMEM only)
             dg_all = jnp.concatenate(
-                [(o[2][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
+                [(o[2].astype(dg_dtype)[:, None, :]
+                  * do_g[None, :, :]).reshape(Hl * D, Qt)
                  for o in ops], axis=1)                  # (Hl*D, P*Qt)
             acc = _dot(dg_all.astype(dtype),
                        bx_cat[:, : P * Qt].astype(dtype),
@@ -380,9 +387,12 @@ def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
     grad_spec = pl.BlockSpec(
         (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
         memory_space=pltpu.VMEM)
+    ymix_bf16 = (dtype == jnp.bfloat16
+                 and os.environ.get("POET_V3_YMIX_BF16", "1") != "0")
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=dtype, n_qt=n_qt),
+                          H=Hg, D=D, dtype=dtype, n_qt=n_qt,
+                          ymix_bf16=ymix_bf16),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
         out_specs=[

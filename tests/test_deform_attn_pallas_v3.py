@@ -127,3 +127,31 @@ def test_v3_wide_first_level(rng):
     b = np.asarray(ms_deform_attn_pallas_v3(
         jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_v3_fused_gradients_bf16_close_to_f32(rng):
+    """The packed-bf16 dg/y-mix path (bf16 inputs) must stay near the f32
+    autodiff reference: the one-hot row operators have 2 nonzero rows, so
+    each product takes a single bf16 rounding (~0.4% rel)."""
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
+
+    value, shapes, locs, w = _make_inputs(rng, B=1, Q=6, H=2, D=8)
+
+    def loss_ref(v, l, a):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_xla(v, shapes, l, a)))
+
+    def loss_v3(v, l, a):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_fused(
+            v.astype(jnp.bfloat16), shapes, l, a).astype(jnp.float32)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    gv = jax.grad(loss_v3, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    for name, (a, b) in zip(["d_value", "d_loc", "d_attn"], zip(gr, gv)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.isfinite(b).all(), name
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                   err_msg=name)
