@@ -118,15 +118,26 @@ def test_sigterm_checkpoints_and_exits_cleanly(workspace, tmp_path):
     out = str(tmp_path / "preempt_out")
     script = (
         "import sys, argparse; sys.argv=['x']; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "from poet_tpu.cli import args_to_config, get_args_parser, main; "
         "p = argparse.ArgumentParser(parents=[get_args_parser()]); "
         f"a = p.parse_args({['--dataset_path', data, '--output_dir', out, '--epochs', '50', '--eval_interval', '100', '--save_interval', '100'] + BASE!r}); "
         "main(args_to_config(a))"
     )
+    # The subprocess must NOT inherit a TPU-plugin site dir (PYTHONPATH):
+    # plugin registration dials the device tunnel at interpreter startup,
+    # which hangs the whole test when the remote worker is down — and this
+    # CPU-only subprocess never needs it. The env var JAX_PLATFORMS=cpu
+    # alone is not reliable under such plugins (see tests/conftest.py), so
+    # the script also forces the platform before any jax use.
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p) or "."
     proc = subprocess.Popen(
         [sys.executable, "-c", script],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env=env,
     )
     # wait for training to actually start stepping, then preempt
     deadline = _time.time() + 600
