@@ -77,6 +77,8 @@ def adi_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) ->
         return np.zeros((0,))
     if jax is None:  # pragma: no cover
         return _adi_errors_numpy(pts, poses_pred, poses_gt)
+    if os.environ.get("POET_ADI_PALLAS") == "1":
+        return _adi_errors_pallas(pts, poses_pred, poses_gt)
 
     pts_j = jnp.asarray(pts, jnp.float32)
 
@@ -103,6 +105,42 @@ def adi_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) ->
         pg = np.concatenate([poses_gt[s:e]] + [poses_gt[s:s + 1]] * pad).astype(np.float32)
         vals = np.asarray(chunk_err(pp, pg))
         out[s:e] = vals[: e - s]
+    return out
+
+
+def _adi_errors_pallas(pts, poses_pred, poses_gt):
+    """ADD-S via the Pallas min-distance kernel (ops/nn_pallas.py).
+
+    Opt-in (POET_ADI_PALLAS=1) until the on-chip win over the einsum path is
+    recorded: the kernel keeps the (N x N) distance tiles in VMEM instead of
+    materializing them to HBM. Larger pose chunks amortize dispatch (the
+    kernel's HBM footprint is only the transformed clouds + the (P, N) min).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from poet_tpu.ops.nn_pallas import min_dist_sq_pallas
+
+    CHUNK = 64
+    P = poses_pred.shape[0]
+    pts_j = jnp.asarray(pts, jnp.float32)
+
+    @jax.jit
+    def chunk_err(pp, pg):
+        R_p, t_p = pp[:, :, :3], pp[:, :, 3]
+        R_g, t_g = pg[:, :, :3], pg[:, :, 3]
+        est = jnp.einsum("pij,nj->pni", R_p, pts_j) + t_p[:, None, :]
+        gt = jnp.einsum("pij,nj->pni", R_g, pts_j) + t_g[:, None, :]
+        nn = jnp.sqrt(min_dist_sq_pallas(gt, est))      # (P, N)
+        return jnp.mean(nn, axis=-1)
+
+    out = np.zeros(P, dtype=np.float64)
+    for s in range(0, P, CHUNK):
+        e = min(s + CHUNK, P)
+        pad = CHUNK - (e - s)
+        pp = np.concatenate([poses_pred[s:e]] + [poses_pred[s:s + 1]] * pad).astype(np.float32)
+        pg = np.concatenate([poses_gt[s:e]] + [poses_gt[s:s + 1]] * pad).astype(np.float32)
+        out[s:e] = np.asarray(chunk_err(pp, pg))[: e - s]
     return out
 
 
