@@ -86,4 +86,14 @@ def main():
 
 
 if __name__ == "__main__":
+    # Device-tunnel outages hang every jax call inside PJRT client creation,
+    # where no Python-level timeout can fire (the main thread never returns
+    # to bytecode, so a Python SIGALRM handler would never run). The DEFAULT
+    # SIGALRM disposition kills the process at the kernel level regardless —
+    # an indefinite driver hang becomes a clean failure. 40 min >> the worst
+    # cold compile through the relay.
+    import signal
+
+    signal.alarm(2400)
     main()
+    signal.alarm(0)
