@@ -25,8 +25,8 @@ def main():
     cfg, model, images, pad_mask, targets = _flagship_setup(B=16, H=480, W=640)
     # single-chip inference flagship runs the fused Pallas sampling kernel
     # (ops/deform_attn_pallas_v3.py): measured 623 vs 410 img/s with 'sep'.
-    # 'sep' stays the config default because a pallas_call does not
-    # auto-partition under the seq/model-axis meshes (see README).
+    # The config default 'auto' resolves to 'fused' on TPU anyway; pinned
+    # here so the benchmarked path never depends on backend detection.
     cfg.model.enc_deform_impl = "fused"
     from poet_tpu.models import build_model
 
