@@ -59,6 +59,25 @@ def main():
         print(f"bwd TPU {n}: max err {e:.2e} (scale {s:.1f})")
         assert e < 2e-3 * max(s, 1.0), (n, e, s)
 
+    # packed-bf16 path (y-mix + dg construction run as packed bf16 vops):
+    # bf16 inputs, compared loosely against the f32 autodiff reference
+    def loss_v3_bf16(v, l, a):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_fused(
+            v.astype(jnp.bfloat16), SHAPES, l, a).astype(jnp.float32)))
+
+    out16 = jax.jit(lambda v, l, a: ms_deform_attn_pallas_v3(
+        v.astype(jnp.bfloat16), SHAPES, l, a))(value, loc, attn)
+    e = float(jnp.abs(out16.astype(jnp.float32) - ref).max())
+    print(f"fwd TPU bf16 (packed y-mix): max|v3-xla| = {e:.2e}")
+    assert e < 3e-2 * max(scale, 1.0), e
+    g16 = jax.jit(jax.grad(loss_v3_bf16, argnums=(0, 1, 2)))(value, loc, attn)
+    for n, (a, b) in zip(["d_value", "d_loc", "d_attn"], zip(gr, g16)):
+        e = float(jnp.abs(a - b.astype(jnp.float32)).max())
+        s = max(float(jnp.abs(a).max()), 1.0)
+        assert np.isfinite(np.asarray(b, np.float32)).all()
+        print(f"bwd TPU bf16 {n}: max err {e:.2e} (rel {e/s:.2e})")
+        assert e < 5e-2 * s, (n, e, s)
+
     # partitioned path on a 1-device mesh: exercises the custom_partitioning
     # lowering (Shardy rules + partition callbacks) on the real backend
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pp
