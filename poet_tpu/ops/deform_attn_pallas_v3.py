@@ -74,16 +74,22 @@ def _dot(a, b, dims, dtype, out_dtype=None):
                                precision=precision)
 
 
-def _pick_head_group(H, D, spatial_shapes, itemsize, budget=8 * 1024 * 1024):
-    """Largest divisor of H whose per-group vT VMEM blocks fit the budget.
+def _pick_head_group(H, D, spatial_shapes, bytes_per_elem,
+                     budget=8 * 1024 * 1024):
+    """Largest divisor of H whose per-group value-shaped VMEM blocks fit.
 
-    The value blocks are (Hg, Hl*D, Wl) per level with the lane dim padded
-    to 128; at Mask-R-CNN pyramid scale all H=16 heads fit (the fastest
-    measured config), at YOLO scale (S=6380) a full-H block overflows the
-    16 MB scoped VMEM (measured: 29.25M requested), so heads are processed
-    in grid-partitioned groups.
+    The value-shaped blocks are (Hg, Hl*D, Wl) per level with the lane dim
+    padded to 128. `bytes_per_elem` is the TOTAL bytes each value element
+    costs in VMEM across all simultaneously-resident value-shaped buffers:
+    the forward holds only vT (itemsize); the fused adjoint holds vT +
+    the d_value output block (itemsize each) + the f32 accumulation scratch
+    (4 bytes), so ~3x/4x the forward's footprint — sized separately or the
+    merged backward oversubscribes the 16 MB scoped VMEM at full H=16
+    (which the forward-only budget measured fine: all heads fit at rcnn
+    scale, while YOLO scale overflowed at 29.25M requested and needs
+    grid-partitioned head groups).
     """
-    per_head = sum(Hl * D * (-(-Wl // 128) * 128) * itemsize
+    per_head = sum(Hl * D * (-(-Wl // 128) * 128) * bytes_per_elem
                    for Hl, Wl in spatial_shapes)
     for hg in range(H, 0, -1):
         if H % hg == 0 and per_head * hg <= budget:
@@ -364,7 +370,9 @@ def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
     vT_levels, xb, yb, ab, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
-    Hg = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
+    # vT block + d_value output block (itemsize each) + f32 scratch are all
+    # resident per head group — size the group for the sum, not just vT.
+    Hg = _pick_head_group(H, D, spatial_shapes, 2 * dtype.itemsize + 4)
 
     # cotangent -> (B, H, D, Q_pad) f32, the kernel-side layout
     do = dout.reshape(B, Q, H, D).astype(_F32).transpose(0, 2, 3, 1)
