@@ -155,3 +155,4 @@ def test_v3_fused_gradients_bf16_close_to_f32(rng):
         assert np.isfinite(b).all(), name
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
                                    err_msg=name)
+

@@ -1,0 +1,36 @@
+"""Host-side Mosaic lowering regression for the fused v3 kernel.
+
+Runs OUTSIDE interpret mode (its own module: the v3 test file's autouse
+interpret fixture would bypass Mosaic): `lower(lowering_platforms=("tpu",))`
+verifies the Pallas->Mosaic MLIR on any host, no device needed.
+"""
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_v3_mosaic_lowering_both_dtypes(dtype):
+    """Host-side Mosaic lowering of fwd + fused adjoint for the tpu platform
+    — catches vreg/verifier errors (e.g. 'matmul acc must be 32-bit' from a
+    bf16 preferred_element_type) without any device. Runs OUTSIDE interpret
+    mode on purpose."""
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
+
+    shapes = ((8, 10), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    B, H, D, L, P = 2, 2, 16, 2, 4
+    v = jax.ShapeDtypeStruct((B, S, H, D), dtype)
+    l = jax.ShapeDtypeStruct((B, S, H, L, P, 2), jnp.float32)
+    a = jax.ShapeDtypeStruct((B, S, H, L, P), jnp.float32)
+
+    def loss(v, l, a):
+        o = ms_deform_attn_fused(v, shapes, l, a)
+        return jnp.sum(o.astype(jnp.float32)), o
+
+    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
+    txt = g.trace(v, l, a).lower(lowering_platforms=("tpu",)).as_text()
+    assert txt.count("tpu_custom_call") == 2  # fwd kernel + fused adjoint
