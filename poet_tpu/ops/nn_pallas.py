@@ -13,8 +13,9 @@ kernel hit, see ops/deform_attn_pallas_v3.py). This kernel computes the
 cross-term tile by tile in VMEM and only ever writes the (P, N) running
 minimum to HBM.
 
-Grid: (P, n_gt_tiles). Per program: one gt tile (G, 3) against the pose's
-full est cloud, chunked over lanes; running lane-min in registers.
+Layout: gt points live in LANES (the output is a (1, G) row per program, so
+the chunk-min is a free sublane reduction); est points are chunked over
+sublanes. Grid: (P, n_gt_tiles).
 """
 
 from __future__ import annotations
@@ -26,28 +27,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_G = 256        # gt points per program (sublanes)
-_EC = 2048      # est points per in-kernel chunk (lanes)
+_G = 512        # gt points per program (lanes)
+_EC = 1024      # est points per in-kernel chunk (sublanes)
 _FAR = 1e9      # padding coordinate: keeps the min over padded est correct
 
 
-def _kernel(gt_ref, estT_ref, out_ref, *, n_ec):
-    gt = gt_ref[0]                                   # (G, 3) f32
-    g2 = jnp.sum(gt * gt, axis=1, keepdims=True)     # (G, 1)
-    best = jnp.full((gt.shape[0], 1), jnp.inf, jnp.float32)
+def _kernel(gtT_ref, est_ref, out_ref, *, n_ec):
+    gtT = gtT_ref[0]                                  # (3, G) f32
+    g2 = jnp.sum(gtT * gtT, axis=0, keepdims=True)    # (1, G)
+    best = jnp.full((1, gtT.shape[1]), jnp.inf, jnp.float32)
     for c in range(n_ec):
-        estT = estT_ref[0][:, c * _EC : (c + 1) * _EC]   # (3, EC)
-        e2 = jnp.sum(estT * estT, axis=0, keepdims=True)  # (1, EC)
+        est_c = est_ref[0][c * _EC : (c + 1) * _EC]   # (EC, 3)
+        e2 = jnp.sum(est_c * est_c, axis=1, keepdims=True)  # (EC, 1)
         cross = jax.lax.dot_general(
-            gt, estT, (((1,), (0,)), ((), ())),
+            est_c, gtT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # (G, EC) — VMEM only
-        d2 = g2 + e2 - 2.0 * cross
-        best = jnp.minimum(best, jnp.min(d2, axis=1, keepdims=True))
-    out_ref[0] = jnp.maximum(best, 0.0)[:, 0]
+            precision=jax.lax.Precision.HIGHEST)      # (EC, G) — VMEM only
+        d2 = e2 + g2 - 2.0 * cross
+        best = jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
+    out_ref[0] = jnp.maximum(best, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=())
 def min_dist_sq_pallas(gt: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
     """Per gt point, min squared distance into the est cloud.
 
@@ -60,23 +60,22 @@ def min_dist_sq_pallas(gt: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
 
     Np = -(-N // _G) * _G
     Ep = -(-N_est // _EC) * _EC
-    gt_p = jnp.pad(gt, ((0, 0), (0, Np - N), (0, 0)))
-    # pad est with a far point so padded columns never win the min
+    gtT = jnp.pad(gt, ((0, 0), (0, Np - N), (0, 0))).transpose(0, 2, 1)
+    # pad est with a far point so padded rows never win the min
     est_p = jnp.pad(est, ((0, 0), (0, Ep - N_est), (0, 0)),
                     constant_values=_FAR)
-    estT = est_p.transpose(0, 2, 1)                   # (P, 3, Ep)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_ec=Ep // _EC),
         grid=(P, Np // _G),
         in_specs=[
-            pl.BlockSpec((1, _G, 3), lambda p, g: (p, g, 0),
+            pl.BlockSpec((1, 3, _G), lambda p, g: (p, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Ep), lambda p, g: (p, 0, 0),
+            pl.BlockSpec((1, Ep, 3), lambda p, g: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _G), lambda p, g: (p, g),
+        out_specs=pl.BlockSpec((1, 1, _G), lambda p, g: (p, 0, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, Np), jnp.float32),
-    )(gt_p, estT)
-    return out[:, :N]
+        out_shape=jax.ShapeDtypeStruct((P, 1, Np), jnp.float32),
+    )(gtT, est_p)
+    return out[:, 0, :N]

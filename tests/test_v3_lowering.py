@@ -34,3 +34,15 @@ def test_v3_mosaic_lowering_both_dtypes(dtype):
     g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
     txt = g.trace(v, l, a).lower(lowering_platforms=("tpu",)).as_text()
     assert txt.count("tpu_custom_call") == 2  # fwd kernel + fused adjoint
+
+
+def test_nn_pallas_mosaic_lowering():
+    """Same device-free Mosaic check for the ADD-S min-distance kernel
+    (caught: output block shape violating the (8, 128) tiling rule)."""
+    from poet_tpu.ops.nn_pallas import min_dist_sq_pallas
+
+    gt = jax.ShapeDtypeStruct((4, 2600, 3), jnp.float32)
+    est = jax.ShapeDtypeStruct((4, 2600, 3), jnp.float32)
+    f = jax.jit(min_dist_sq_pallas)
+    txt = f.trace(gt, est).lower(lowering_platforms=("tpu",)).as_text()
+    assert txt.count("tpu_custom_call") == 1
