@@ -97,14 +97,28 @@ def adi_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) ->
         nn = jnp.sqrt(jnp.min(d2, axis=-1))                # (P, N)
         return jnp.mean(nn, axis=-1)
 
-    out = np.zeros(P, dtype=np.float64)
-    for s in range(0, P, _POSE_CHUNK):
-        e = min(s + _POSE_CHUNK, P)
-        pad = _POSE_CHUNK - (e - s)
+    return _chunked_collect(chunk_err, poses_pred, poses_gt, _POSE_CHUNK)
+
+
+def _chunked_collect(chunk_err, poses_pred, poses_gt, chunk: int) -> np.ndarray:
+    """Dispatch every pose chunk before reading any result back.
+
+    JAX dispatch is async: queueing all chunks first lets device compute and
+    D2H transfers overlap instead of paying one round-trip of latency per
+    chunk — through a remote-relay TPU that latency, not the (N x N) min
+    itself, dominated the sweep (measured 8 ms/pose at chunk=8).
+    """
+    P = poses_pred.shape[0]
+    futs = []
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        pad = chunk - (e - s)
         pp = np.concatenate([poses_pred[s:e]] + [poses_pred[s:s + 1]] * pad).astype(np.float32)
         pg = np.concatenate([poses_gt[s:e]] + [poses_gt[s:s + 1]] * pad).astype(np.float32)
-        vals = np.asarray(chunk_err(pp, pg))
-        out[s:e] = vals[: e - s]
+        futs.append((s, e, chunk_err(pp, pg)))
+    out = np.zeros(P, dtype=np.float64)
+    for s, e, vals in futs:
+        out[s:e] = np.asarray(vals)[: e - s]
     return out
 
 
@@ -122,7 +136,6 @@ def _adi_errors_pallas(pts, poses_pred, poses_gt):
     from poet_tpu.ops.nn_pallas import min_dist_sq_pallas
 
     CHUNK = 64
-    P = poses_pred.shape[0]
     pts_j = jnp.asarray(pts, jnp.float32)
 
     @jax.jit
@@ -134,14 +147,7 @@ def _adi_errors_pallas(pts, poses_pred, poses_gt):
         nn = jnp.sqrt(min_dist_sq_pallas(gt, est))      # (P, N)
         return jnp.mean(nn, axis=-1)
 
-    out = np.zeros(P, dtype=np.float64)
-    for s in range(0, P, CHUNK):
-        e = min(s + CHUNK, P)
-        pad = CHUNK - (e - s)
-        pp = np.concatenate([poses_pred[s:e]] + [poses_pred[s:s + 1]] * pad).astype(np.float32)
-        pg = np.concatenate([poses_gt[s:e]] + [poses_gt[s:s + 1]] * pad).astype(np.float32)
-        out[s:e] = np.asarray(chunk_err(pp, pg))[: e - s]
-    return out
+    return _chunked_collect(chunk_err, poses_pred, poses_gt, CHUNK)
 
 
 def _adi_errors_numpy(pts, poses_pred, poses_gt):  # pragma: no cover
@@ -228,6 +234,7 @@ class PoseEvaluator:
         self.poses_img: Dict[str, list] = {c: [] for c in self.classes}
         self.camera_intrinsics: Dict[str, list] = {c: [] for c in self.classes}
         self.num: Dict[str, float] = {c: 0.0 for c in self.classes}
+        self._err_cache: Dict[tuple, np.ndarray] = {}
 
     # -- accumulation ------------------------------------------------------
     def record(self, cls_idx: int, pred_rotation, pred_translation,
@@ -243,6 +250,8 @@ class PoseEvaluator:
         self.poses_img[cls].append(img_file)
         self.num[cls] += 1
         self.camera_intrinsics[cls].append(intrinsics)
+        self._err_cache.pop((cls, "add"), None)
+        self._err_cache.pop((cls, "adi"), None)
 
     # -- per-class thresholds ----------------------------------------------
     def _thresholds(self, cls_name: str) -> np.ndarray:
@@ -252,14 +261,23 @@ class PoseEvaluator:
         return np.array([0.02, 0.05, 0.10])
 
     def _class_errors(self, cls_name: str, method: str) -> np.ndarray:
+        # Memoized across metric passes: ADD and ADD(-S) (and ADI and ADD(-S))
+        # share identical per-class error vectors, so without the cache every
+        # error is computed twice per eval epoch. The reference recomputes
+        # (pose_evaluator.py:67-512); values are identical either way.
+        # record()/reset() invalidate.
+        key = (cls_name, method)
+        if key in self._err_cache:
+            return self._err_cache[key]
         pred = np.asarray(self.poses_pred[cls_name], dtype=np.float64)
         gt = np.asarray(self.poses_gt[cls_name], dtype=np.float64)
         if len(pred) == 0:
-            return np.zeros((0,))
-        pts = np.asarray(self.models[cls_name]["pts"], dtype=np.float64)
-        if method == "add":
-            return add_errors(pts, pred, gt)
-        return adi_errors(pts, pred, gt)
+            errors = np.zeros((0,))
+        else:
+            pts = np.asarray(self.models[cls_name]["pts"], dtype=np.float64)
+            errors = add_errors(pts, pred, gt) if method == "add" else adi_errors(pts, pred, gt)
+        self._err_cache[key] = errors
+        return errors
 
     # -- metric passes -------------------------------------------------------
     def evaluate_pose_add(self, output_path: str):

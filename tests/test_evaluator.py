@@ -140,6 +140,34 @@ def test_avg_errors(evaluator, rng, tmp_path):
     np.testing.assert_allclose(r_res["obj_a"], 0.0, atol=1e-3)
 
 
+def test_error_cache_invalidation(evaluator, rng, tmp_path):
+    """_class_errors is memoized across metric passes; record() invalidates.
+
+    ADD and ADD(-S) share per-class error vectors — cached results must stay
+    identical to fresh computation, and new pose pairs must appear in later
+    passes.
+    """
+    poses = _random_poses(rng, 4)
+    for i in range(4):
+        evaluator.record(1, poses[i, :, :3], poses[i, :, 3],
+                         poses[i, :, :3], poses[i, :, 3])
+    out = str(tmp_path) + "/"
+    first = evaluator.evaluate_pose_add(out)
+    assert ("obj_a", "add") in evaluator._err_cache
+    # second pass served from cache, identical result
+    assert evaluator.evaluate_pose_add(out) == first
+    # a new (bad) pose invalidates the class cache and changes the metric
+    bad = poses[0].copy()
+    bad[:, 3] += 1.0
+    evaluator.record(1, bad[:, :3], bad[:, 3], poses[0, :, :3], poses[0, :, 3])
+    assert ("obj_a", "add") not in evaluator._err_cache
+    res = evaluator.evaluate_pose_add(out)
+    assert res["obj_a"]["accuracy"]["0.10"] == pytest.approx(100.0 * 4 / 5)
+    # reset clears everything
+    evaluator.reset()
+    assert evaluator._err_cache == {}
+
+
 def test_ply_roundtrip_ascii(tmp_path, rng):
     pts = rng.normal(size=(10, 3))
     faces = [[0, 1, 2], [3, 4, 5]]
