@@ -180,13 +180,23 @@ def pose_evaluate(model, params, pose_evaluator, data_loader, cfg: PoETConfig,
     start = time.time()
     file_names = {i: data_loader.dataset.file_name(i) for i in data_loader.dataset.ids}
     local_pairs = []
+    # one-batch-deep pipeline: dispatch batch k+1's forward (async under jit)
+    # before reading batch k's results back, so host-side pair extraction and
+    # the D2H round-trip overlap device compute instead of serializing with it
+    pending = None
     for images, pad_mask, targets in data_loader.epoch(0):
         out = forward(params, images, pad_mask, targets)
-        local_pairs.extend(
-            _matched_pairs_to_host(out, targets, cfg.model.rotation_representation)
-        )
+        if pending is not None:
+            local_pairs.extend(
+                _matched_pairs_to_host(*pending, cfg.model.rotation_representation)
+            )
+        pending = (out, targets)
         processed += images.shape[0]
         print(f"Processed {processed}/{n_images}")
+    if pending is not None:
+        local_pairs.extend(
+            _matched_pairs_to_host(*pending, cfg.model.rotation_representation)
+        )
     # restore full-dataset metrics when the eval loader is process-sharded
     for pr in gather_pairs_across_hosts(local_pairs):
         pose_evaluator.record(

@@ -65,6 +65,72 @@ def add_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) ->
     return np.linalg.norm(est - gt, axis=-1).mean(axis=-1)
 
 
+_PTS_BUCKET = 256     # cloud sizes padded up to a multiple of this
+_FAR_PT = 1e6         # padding point coordinate: transformed copies stay
+                      # ~1e6 from every real point, so they never win the NN
+                      # min; padded GT rows are masked out of the mean
+
+
+def _pad_cloud(pts: np.ndarray) -> np.ndarray:
+    """Pad (N, 3) up to the next _PTS_BUCKET multiple with far-away points.
+
+    Bucketing keeps the number of distinct jit shapes small: every class
+    whose cloud lands in the same bucket reuses one compiled program. The
+    squared-distance HBM traffic grows with the padded N², so buckets are
+    multiples (≤10% typical overhead), not powers of two.
+    """
+    N = pts.shape[0]
+    Nb = -(-N // _PTS_BUCKET) * _PTS_BUCKET
+    return np.pad(pts, ((0, Nb - N), (0, 0)), constant_values=_FAR_PT)
+
+
+def _transform_clouds(pts, pp, pg):
+    import jax.numpy as jnp
+
+    R_p, t_p = pp[:, :, :3], pp[:, :, 3]
+    R_g, t_g = pg[:, :, :3], pg[:, :, 3]
+    est = jnp.einsum("pij,nj->pni", R_p, pts) + t_p[:, None, :]
+    gt = jnp.einsum("pij,nj->pni", R_g, pts) + t_g[:, None, :]
+    return gt, est
+
+
+def _masked_mean_nn(nn, n_pts):
+    import jax.numpy as jnp
+
+    mask = (jnp.arange(nn.shape[-1]) < n_pts).astype(nn.dtype)
+    return jnp.sum(nn * mask, axis=-1) / n_pts.astype(nn.dtype)
+
+
+def _adi_chunk_einsum(pts, n_pts, pp, pg):
+    """One pose chunk of ADD-S NN means. pts (Nb, 3) bucket-padded; n_pts the
+    real point count (traced — changing it does not recompile)."""
+    import jax.numpy as jnp
+
+    gt, est = _transform_clouds(pts, pp, pg)
+    # ||gt_m - est_n||² = |gt|² + |est|² - 2 gt·est  (MXU-friendly form)
+    g2 = jnp.sum(gt * gt, axis=-1)                     # (P, N)
+    e2 = jnp.sum(est * est, axis=-1)                   # (P, N)
+    cross = jnp.einsum("pmi,pni->pmn", gt, est)        # (P, N, N) on MXU
+    d2 = g2[:, :, None] + e2[:, None, :] - 2.0 * cross
+    nn = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))   # (P, N)
+    return _masked_mean_nn(nn, n_pts)
+
+
+_JITTED: dict = {}
+
+
+def _jitted(key, fn):
+    """Module-level jit cache: one compiled program per (kernel, shape
+    bucket), shared across classes, metric passes, and eval epochs — a
+    per-call ``@jax.jit`` closure would recompile for every class of every
+    pass of every epoch (seconds each through a remote-relay TPU)."""
+    if key not in _JITTED:
+        import jax
+
+        _JITTED[key] = jax.jit(fn)
+    return _JITTED[key]
+
+
 def adi_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) -> np.ndarray:
     """ADD-S (symmetric): mean over gt points of the NN distance into the
     predicted cloud. Parity: calc_adi (pose_evaluator.py:714-739).
@@ -80,23 +146,10 @@ def adi_errors(pts: np.ndarray, poses_pred: np.ndarray, poses_gt: np.ndarray) ->
     if os.environ.get("POET_ADI_PALLAS") == "1":
         return _adi_errors_pallas(pts, poses_pred, poses_gt)
 
-    pts_j = jnp.asarray(pts, jnp.float32)
-
-    @jax.jit
-    def chunk_err(pp, pg):
-        R_p, t_p = pp[:, :, :3], pp[:, :, 3]
-        R_g, t_g = pg[:, :, :3], pg[:, :, 3]
-        est = jnp.einsum("pij,nj->pni", R_p, pts_j) + t_p[:, None, :]
-        gt = jnp.einsum("pij,nj->pni", R_g, pts_j) + t_g[:, None, :]
-        # ||gt_m - est_n||² = |gt|² + |est|² - 2 gt·est  (MXU-friendly form)
-        g2 = jnp.sum(gt * gt, axis=-1)                     # (P, N)
-        e2 = jnp.sum(est * est, axis=-1)                   # (P, N)
-        cross = jnp.einsum("pmi,pni->pmn", gt, est)        # (P, N, N) on MXU
-        d2 = g2[:, :, None] + e2[:, None, :] - 2.0 * cross
-        d2 = jnp.maximum(d2, 0.0)
-        nn = jnp.sqrt(jnp.min(d2, axis=-1))                # (P, N)
-        return jnp.mean(nn, axis=-1)
-
+    pts_j = jnp.asarray(_pad_cloud(pts), jnp.float32)
+    n_pts = jnp.asarray(pts.shape[0], jnp.int32)
+    fn = _jitted("einsum", _adi_chunk_einsum)
+    chunk_err = lambda pp, pg: fn(pts_j, n_pts, pp, pg)
     return _chunked_collect(chunk_err, poses_pred, poses_gt, _POSE_CHUNK)
 
 
@@ -130,24 +183,24 @@ def _adi_errors_pallas(pts, poses_pred, poses_gt):
     materializing them to HBM. Larger pose chunks amortize dispatch (the
     kernel's HBM footprint is only the transformed clouds + the (P, N) min).
     """
-    import jax
+    import jax.numpy as jnp
+
+    CHUNK = 64
+    pts_j = jnp.asarray(_pad_cloud(pts), jnp.float32)
+    n_pts = jnp.asarray(pts.shape[0], jnp.int32)
+    fn = _jitted("pallas", _adi_chunk_pallas)
+    chunk_err = lambda pp, pg: fn(pts_j, n_pts, pp, pg)
+    return _chunked_collect(chunk_err, poses_pred, poses_gt, CHUNK)
+
+
+def _adi_chunk_pallas(pts, n_pts, pp, pg):
     import jax.numpy as jnp
 
     from poet_tpu.ops.nn_pallas import min_dist_sq_pallas
 
-    CHUNK = 64
-    pts_j = jnp.asarray(pts, jnp.float32)
-
-    @jax.jit
-    def chunk_err(pp, pg):
-        R_p, t_p = pp[:, :, :3], pp[:, :, 3]
-        R_g, t_g = pg[:, :, :3], pg[:, :, 3]
-        est = jnp.einsum("pij,nj->pni", R_p, pts_j) + t_p[:, None, :]
-        gt = jnp.einsum("pij,nj->pni", R_g, pts_j) + t_g[:, None, :]
-        nn = jnp.sqrt(min_dist_sq_pallas(gt, est))      # (P, N)
-        return jnp.mean(nn, axis=-1)
-
-    return _chunked_collect(chunk_err, poses_pred, poses_gt, CHUNK)
+    gt, est = _transform_clouds(pts, pp, pg)
+    nn = jnp.sqrt(min_dist_sq_pallas(gt, est))          # (P, N)
+    return _masked_mean_nn(nn, n_pts)
 
 
 def _adi_errors_numpy(pts, poses_pred, poses_gt):  # pragma: no cover

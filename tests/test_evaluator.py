@@ -140,6 +140,32 @@ def test_avg_errors(evaluator, rng, tmp_path):
     np.testing.assert_allclose(r_res["obj_a"], 0.0, atol=1e-3)
 
 
+def test_adi_bucket_padding_no_recompile(rng):
+    """Clouds in the same size bucket share ONE compiled program.
+
+    adi_errors pads clouds to _PTS_BUCKET multiples and jits at module level;
+    per-class closures used to recompile for every class of every metric pass
+    (seconds each through a remote-relay TPU). Padded points must not change
+    the values (cKDTree oracle).
+    """
+    from poet_tpu.evaluation import pose_evaluator as pe
+
+    # _cache_size() counts compiled entries for the underlying function
+    # across the whole process, so measure the delta, not the absolute
+    base = pe._jitted("einsum", pe._adi_chunk_einsum)._cache_size()
+    pred = _random_poses(rng, 3)
+    gt = pred.copy()
+    gt[:, :, 3] += rng.normal(scale=0.02, size=(3, 3))
+    for n in (130, 200, 255):  # all pad to 256
+        pts = _pts(rng, n)
+        out = adi_errors(pts, pred, gt)
+        est = pts @ pred[0, :, :3].T + pred[0, :, 3]
+        g = pts @ gt[0, :, :3].T + gt[0, :, 3]
+        nn, _ = spatial.cKDTree(est).query(g, k=1)
+        np.testing.assert_allclose(out[0], nn.mean(), rtol=1e-3, atol=1e-5)
+    assert pe._JITTED["einsum"]._cache_size() <= base + 1
+
+
 def test_error_cache_invalidation(evaluator, rng, tmp_path):
     """_class_errors is memoized across metric passes; record() invalidates.
 
