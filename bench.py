@@ -93,7 +93,16 @@ if __name__ == "__main__":
     # an indefinite driver hang becomes a clean failure. 40 min >> the worst
     # cold compile through the relay.
     import signal
+    import sys
 
     signal.alarm(2400)
+    print(
+        "bench.py: contacting the TPU (axon tunnel). If this process dies on "
+        "SIGALRM ('Alarm clock', rc=142) the tunnel is in an outage: device "
+        "calls hang inside PJRT client creation (observed multi-hour outages; "
+        "see .claude/skills/verify/SKILL.md).",
+        file=sys.stderr,
+        flush=True,
+    )
     main()
     signal.alarm(0)
