@@ -371,32 +371,49 @@ def main(cfg: PoETConfig):
     from poet_tpu.engine.train import make_lr_schedule
 
     lr_schedule = make_lr_schedule(cfg.optim.lr, cfg.optim.lr_drop, steps_per_epoch)
+    # host mirror of state.step (increments by 1 per step_fn call): reading
+    # int(state.step) each step would sync on the just-dispatched update
+    host_step = int(state.step)
     for epoch in range(cfg.runtime.start_epoch, cfg.optim.epochs):
         logger = MetricLogger()
         logger.add_meter("lr", SmoothedValue(1, "{value:.6f}"))
         header = f"Epoch: [{epoch}]"
+
+        def consume_metrics(m, step_idx):
+            loss = float(m["loss"])
+            if not math.isfinite(loss):
+                print(f"Loss is {loss}, stopping training")
+                print({k: float(v) for k, v in m.items()})
+                raise SystemExit(1)
+            # live lr (reference logs it per epoch, engine.py:47-48,85)
+            logger.update(lr=float(lr_schedule(step_idx)))
+            logger.update(**{k: float(v) for k, v in m.items()})
+
+        # one-step-deep pipeline: dispatch step k+1 before reading step k's
+        # metrics so host logging overlaps device compute (the reference
+        # syncs per step at engine.py:68; the NaN gate here fires one step
+        # later, which changes nothing — checkpoints are per-epoch)
+        pending = None
         for images, pad_mask, targets in logger.log_every(
             loader_train.epoch(epoch), 10, header
         ):
             rng, drng = jax.random.split(rng)
             state, metrics = step_fn(state, images, pad_mask, targets, drng)
-            loss = float(metrics["loss"])
-            if not math.isfinite(loss):
-                print(f"Loss is {loss}, stopping training")
-                print({k: float(v) for k, v in metrics.items()})
-                raise SystemExit(1)
-            # live lr (reference logs it per epoch, engine.py:47-48,85)
-            logger.update(lr=float(lr_schedule(int(state.step) - 1)))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if pending is not None:
+                consume_metrics(*pending)
+            pending = (metrics, host_step)
+            host_step += 1
             if preempted["flag"]:
                 if output_dir and is_main:
                     save_checkpoint(str(output_dir), "checkpoint", state,
                                     epoch - 1, cfg)
-                print(f"preempted at epoch {epoch} step {int(state.step)}: "
+                print(f"preempted at epoch {epoch} step {host_step}: "
                       "checkpoint written, exiting cleanly")
                 if prev_sigterm is not None:
                     signal.signal(signal.SIGTERM, prev_sigterm)
                 return
+        if pending is not None:
+            consume_metrics(*pending)
         logger.synchronize_between_processes()
         print("Averaged stats:", logger)
         if profile_dir and epoch == cfg.runtime.start_epoch:

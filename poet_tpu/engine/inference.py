@@ -81,11 +81,8 @@ def inference(model, params, cfg: PoETConfig):
     fwd = jax.jit(lambda p, i, m: model.apply(p, i, m, None, deterministic=True))
 
     results = {}
-    for img_id, fname in enumerate(files):
-        arr = load_image_rgb_f32(
-            os.path.join(cfg.runtime.inference_path, fname))[None]
-        pad_mask = jnp.zeros(arr.shape[:3], bool)
-        out = fwd(params, jnp.asarray(arr), pad_mask)
+
+    def consume(out, img_id, fname):
         n = int(np.asarray(out["n_boxes"])[0])
         img_results = {}
         trans = np.asarray(out["translations"])[-1, 0]
@@ -101,6 +98,22 @@ def inference(model, params, cfg: PoETConfig):
             }
         results[img_id] = img_results
         print(f"Processed {img_id + 1}/{len(files)}: {fname} ({n} objects)")
+
+    # one-image-deep pipeline: decode + dispatch image k+1 before reading
+    # image k's outputs, overlapping host decode and D2H with device compute
+    # (same results as the reference's synchronous bs=1 loop,
+    # inference_engine.py:46-75)
+    pending = None
+    for img_id, fname in enumerate(files):
+        arr = load_image_rgb_f32(
+            os.path.join(cfg.runtime.inference_path, fname))[None]
+        pad_mask = jnp.zeros(arr.shape[:3], bool)
+        out = fwd(params, jnp.asarray(arr), pad_mask)
+        if pending is not None:
+            consume(*pending)
+        pending = (out, img_id, fname)
+    if pending is not None:
+        consume(*pending)
 
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f)
