@@ -96,9 +96,13 @@ def test_v3_fused_gradients_multi_tile(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
-def test_v3_bf16_close_to_f32(rng):
+@pytest.mark.parametrize("ymix_bf16", ["0", "1"])
+def test_v3_bf16_close_to_f32(rng, monkeypatch, ymix_bf16):
+    """Both the packed-bf16 y-mix (default) and the f32 fallback
+    (POET_V3_YMIX_BF16=0) must track the f32 forward."""
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_pallas_v3
 
+    monkeypatch.setenv("POET_V3_YMIX_BF16", ymix_bf16)
     value, shapes, locs, w = _make_inputs(rng, B=1, Q=6, H=2, D=8)
     a = np.asarray(ms_deform_attn_pallas_v3(
         jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)))
@@ -129,12 +133,15 @@ def test_v3_wide_first_level(rng):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
-def test_v3_fused_gradients_bf16_close_to_f32(rng):
-    """The packed-bf16 dg/y-mix path (bf16 inputs) must stay near the f32
-    autodiff reference: the one-hot row operators have 2 nonzero rows, so
-    each product takes a single bf16 rounding (~0.4% rel)."""
+@pytest.mark.parametrize("ymix_bf16", ["0", "1"])
+def test_v3_fused_gradients_bf16_close_to_f32(rng, monkeypatch, ymix_bf16):
+    """The packed-bf16 dg/y-mix path (bf16 inputs, default) AND its f32
+    fallback (POET_V3_YMIX_BF16=0) must stay near the f32 autodiff
+    reference: the one-hot row operators have 2 nonzero rows, so each
+    product takes a single bf16 rounding (~0.4% rel)."""
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
 
+    monkeypatch.setenv("POET_V3_YMIX_BF16", ymix_bf16)
     value, shapes, locs, w = _make_inputs(rng, B=1, Q=6, H=2, D=8)
 
     def loss_ref(v, l, a):

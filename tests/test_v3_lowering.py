@@ -11,14 +11,20 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_v3_mosaic_lowering_both_dtypes(dtype):
+@pytest.mark.parametrize("dtype,ymix", [
+    (jnp.float32, "1"),
+    (jnp.bfloat16, "1"),   # packed-bf16 y-mix/dg (default)
+    (jnp.bfloat16, "0"),   # f32 y-mix fallback
+])
+def test_v3_mosaic_lowering_both_dtypes(dtype, ymix, monkeypatch):
     """Host-side Mosaic lowering of fwd + fused adjoint for the tpu platform
     — catches vreg/verifier errors (e.g. 'matmul acc must be 32-bit' from a
     bf16 preferred_element_type) without any device. Runs OUTSIDE interpret
-    mode on purpose."""
+    mode on purpose. Covers both the packed-bf16 and f32 y-mix variants."""
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
+
+    monkeypatch.setenv("POET_V3_YMIX_BF16", ymix)
 
     shapes = ((8, 10), (4, 5))
     S = sum(h * w for h, w in shapes)
