@@ -122,6 +122,9 @@ def get_args_parser():
     p.add_argument("--eval_bop", action="store_true")
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--cache_mode", default=False, action="store_true")
+    p.add_argument("--decoded_cache_mb", default=0, type=int,
+                   help="decoded-image cache budget in MB (extension; 0=off):"
+                        " epochs 2+ skip PNG/JPEG decode for cached images")
     # TPU runtime (replaces main.py:176-187 distributed flags)
     p.add_argument("--mesh_data", default=-1, type=int,
                    help="devices on the data axis (-1: all)")
@@ -187,7 +190,7 @@ def args_to_config(args) -> PoETConfig:
     l.rotation_loss_coef = args.rotation_loss_coef
     for k in ("dataset", "dataset_path", "train_set", "eval_set", "synt_background",
               "jitter_probability", "rgb_augmentation", "grayscale", "num_workers",
-              "cache_mode"):
+              "cache_mode", "decoded_cache_mb"):
         setattr(d, k, getattr(args, k))
     e.eval_interval = args.eval_interval
     e.class_info = args.class_info

@@ -177,6 +177,10 @@ class DataConfig:
     grayscale: bool = False
     num_workers: int = 0
     cache_mode: bool = False
+    # extension: decoded-uint8 image cache budget (MB); 0 = off. Makes
+    # epochs 2+ decode-free for datasets that fit (a 480x640 RGB frame is
+    # ~0.9 MB decoded)
+    decoded_cache_mb: int = 0
 
 
 @dataclass

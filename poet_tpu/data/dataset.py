@@ -88,6 +88,7 @@ class PoseDataset:
         jitter_probability: float = 0.5,
         jitter_std: float = 0.02,
         cache_mode: bool = False,
+        decoded_cache_mb: int = 0,
         local_rank: int = 0,
         local_size: int = 1,
     ):
@@ -113,6 +114,17 @@ class PoseDataset:
         self.cache: Dict[str, bytes] = {}
         if cache_mode:
             self._cache_images()
+
+        # Decoded-image cache (extension beyond the reference's byte cache,
+        # coco.py:66-73): training decodes every PNG once per EPOCH (~8.5 ms
+        # host CPU each, inflate-bound); caching the decoded uint8 pixels
+        # makes epochs 2+ decode-free up to the byte budget. Filled on first
+        # decode, no eviction (epoch reuse is uniform, so a prefix cache
+        # equals LRU without the churn). Arrays are stored read-only; every
+        # consumer copies on write (PIL fromarray, np ops).
+        self._decoded_cache: Dict[tuple, np.ndarray] = {}
+        self._decoded_budget = int(decoded_cache_mb) * (1 << 20)
+        self._decoded_bytes = 0
 
         if synthetic_background is not None:
             self.synthetic_background = [
@@ -153,15 +165,26 @@ class PoseDataset:
         available — RGB images stay uint8 ndarrays and only become PIL
         objects if a PIL transform fires (transforms.to_pil); RGBA (synthetic
         compositing) returns PIL since paste() needs it."""
-        blob = self._get_blob(path)
-        native = _native_imagepipe()
-        if native is not None:
-            try:
-                arr = native.decode_image(blob, 4 if mode == "RGBA" else 3)
-                return Image.fromarray(arr, "RGBA") if mode == "RGBA" else arr
-            except ValueError:
-                pass  # unknown/corrupt format: let PIL try
-        return Image.open(BytesIO(blob)).convert(mode)
+        key = (path, mode)
+        arr = self._decoded_cache.get(key)
+        if arr is None:
+            blob = self._get_blob(path)
+            native = _native_imagepipe()
+            if native is not None:
+                try:
+                    arr = native.decode_image(blob, 4 if mode == "RGBA" else 3)
+                except ValueError:
+                    pass  # unknown/corrupt format: let PIL try
+            if arr is None:
+                arr = np.asarray(Image.open(BytesIO(blob)).convert(mode))
+            if self._decoded_bytes + arr.nbytes <= self._decoded_budget:
+                arr.setflags(write=False)
+                # dict assignment is GIL-atomic; a racing worker at worst
+                # decodes the same image twice and the budget overshoots by
+                # one image
+                self._decoded_cache[key] = arr
+                self._decoded_bytes += arr.nbytes
+        return Image.fromarray(arr, "RGBA") if mode == "RGBA" else arr
 
     def _get_background(self, target_size, rng) -> Image.Image:
         """Random flip/crop/resize background (coco.py:83-104)."""
@@ -286,6 +309,7 @@ def build_dataset(image_set: str, cfg, local_rank: int = 0, local_size: int = 1)
         jitter=(cfg.model.bbox_mode == "jitter"),
         jitter_probability=cfg.data.jitter_probability,
         cache_mode=cfg.data.cache_mode,
+        decoded_cache_mb=cfg.data.decoded_cache_mb,
         local_rank=local_rank,
         local_size=local_size,
     )

@@ -217,6 +217,42 @@ def test_native_and_pil_decode_paths_identical(mini_coco, rng, monkeypatch):
             np.testing.assert_array_equal(np.asarray(tgt_n[k]), np.asarray(tgt_p[k]))
 
 
+def test_decoded_image_cache(mini_coco, rng):
+    """decoded_cache_mb: epoch 2 reads no blobs for cached images, results
+    identical to the uncached dataset; budget 0 disables caching."""
+    img_dir, ann_file, _ = mini_coco
+    from poet_tpu.data.transforms import make_pose_estimation_transform
+
+    tf = make_pose_estimation_transform("test")
+    ds = PoseDataset(img_dir, ann_file, transforms=tf, decoded_cache_mb=64)
+    ref = PoseDataset(img_dir, ann_file, transforms=tf)
+    blob_calls = {"n": 0}
+    orig = ds._get_blob
+
+    def counting_get_blob(path):
+        blob_calls["n"] += 1
+        return orig(path)
+
+    ds._get_blob = counting_get_blob
+    first = [ds.__getitem__(i, rng=np.random.default_rng(i)) for i in range(len(ds))]
+    assert blob_calls["n"] == len(ds)
+    second = [ds.__getitem__(i, rng=np.random.default_rng(i)) for i in range(len(ds))]
+    assert blob_calls["n"] == len(ds), "second epoch must be decode-free"
+    assert ds._decoded_bytes > 0
+    for (a, ta), (b, tb) in zip(first, second):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for i in range(len(ds)):
+        img_ref, tgt_ref = ref.__getitem__(i, rng=np.random.default_rng(i))
+        np.testing.assert_array_equal(np.asarray(first[i][0]), np.asarray(img_ref))
+        for k in tgt_ref:
+            np.testing.assert_array_equal(
+                np.asarray(first[i][1][k]), np.asarray(tgt_ref[k]))
+
+    ds0 = PoseDataset(img_dir, ann_file, transforms=tf)  # default: off
+    ds0.__getitem__(0, rng=np.random.default_rng(0))
+    assert ds0._decoded_cache == {} and ds0._decoded_bytes == 0
+
+
 def test_synthetic_rgba_composite(tmp_path, rng):
     """'synt' images decode RGBA and composite onto a random background; the
     native and PIL decode paths agree."""
