@@ -189,7 +189,17 @@ class PoseDataset:
     def _get_background(self, target_size, rng) -> Image.Image:
         """Random flip/crop/resize background (coco.py:83-104)."""
         path = self.synthetic_background[int(rng.integers(0, len(self.synthetic_background)))]
-        bg = Image.open(path).convert("RGB")
+        arr = self._decoded_cache.get((path, "BG"))
+        if arr is not None:
+            bg = Image.fromarray(arr)
+        else:
+            bg = Image.open(path).convert("RGB")
+            if self._decoded_budget:
+                arr = np.asarray(bg)
+                if self._decoded_bytes + arr.nbytes <= self._decoded_budget:
+                    arr.setflags(write=False)
+                    self._decoded_cache[(path, "BG")] = arr
+                    self._decoded_bytes += arr.nbytes
         w, h = bg.size
         if rng.random() < 0.5:
             bg = bg.transpose(Image.FLIP_TOP_BOTTOM)

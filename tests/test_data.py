@@ -289,6 +289,20 @@ def test_synthetic_rgba_composite(tmp_path, rng):
     fg_mask = rgba[..., 3] == 255
     np.testing.assert_array_equal(np.asarray(img_n)[fg_mask], rgba[fg_mask][:, :3])
 
+    # decoded cache (RGBA foregrounds + backgrounds) reproduces the same
+    # composite for the same rng and stops reading blobs on the second pass
+    ds_c = PoseDataset(str(img_dir), str(ann_file),
+                       synthetic_background=str(bg_dir), decoded_cache_mb=16)
+    img_c1, _ = ds_c.__getitem__(0, rng=np.random.default_rng(3))
+    assert ds_c._decoded_bytes > 0
+    calls = {"n": 0}
+    orig = ds_c._get_blob
+    ds_c._get_blob = lambda p: (calls.__setitem__("n", calls["n"] + 1), orig(p))[1]
+    img_c2, _ = ds_c.__getitem__(0, rng=np.random.default_rng(3))
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(np.asarray(img_c1), img_n)
+    np.testing.assert_array_equal(np.asarray(img_c2), img_n)
+
 
 def test_numpy_quaternion_twins_match_jnp(rng):
     """The host pipeline's pure-numpy rot2quat/quat2rot must match the device
