@@ -126,6 +126,10 @@ def get_args_parser():
                    help="decoded-image cache budget in MB (extension; 0=off):"
                         " epochs 2+ skip PNG/JPEG decode for cached images")
     # TPU runtime (replaces main.py:176-187 distributed flags)
+    p.add_argument("--gpu", default=0, type=int,
+                   help="accepted for reference-script compatibility and "
+                        "ignored (CUDA per-process device rank, main.py:187; "
+                        "the TPU runtime assigns devices via the mesh)")
     p.add_argument("--mesh_data", default=-1, type=int,
                    help="devices on the data axis (-1: all)")
     p.add_argument("--grad_accum_steps", default=1, type=int,
