@@ -41,10 +41,18 @@ def enable_persistent_cache(path: str = "/tmp/poet_tpu_xla_cache"):
 
 
 class PoseServer:
-    """Fixed-shape, AOT-compiled pose estimation endpoint."""
+    """Fixed-shape, AOT-compiled pose estimation endpoint.
+
+    Pass ``mesh`` (a `jax.sharding.Mesh` with a 'data' axis) to serve
+    data-parallel across local chips: the batch shards over 'data', params
+    replicate, and GSPMD partitions the whole program — one server object,
+    N-chip throughput (extension; the reference's deployment is a
+    single-GPU TensorRT engine, README.md:35).
+    """
 
     def __init__(self, cfg: PoETConfig, params, batch_size: int = 1,
-                 image_size=(480, 640), latency_window: int = 1000):
+                 image_size=(480, 640), latency_window: int = 1000,
+                 mesh=None):
         self.cfg = cfg
         if cfg.model.dtype == "bfloat16":
             # bf16 weights at rest: bit-identical, removes per-call f32->bf16
@@ -52,11 +60,28 @@ class PoseServer:
             from poet_tpu.utils.params import cast_params_for_inference
 
             params = cast_params_for_inference(params)
-        self.params = params
         self.batch_size = batch_size
         self.image_size = tuple(image_size)
         self.model = build_model(cfg)
         self._latencies = deque(maxlen=latency_window)
+
+        self.mesh = mesh
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            assert "data" in mesh.shape, "serving mesh needs a 'data' axis"
+            n_data = mesh.shape["data"]
+            assert batch_size % n_data == 0, (
+                f"batch_size {batch_size} not divisible by data axis {n_data}")
+            self._shard_in = NamedSharding(mesh, PartitionSpec("data"))
+            repl = NamedSharding(mesh, PartitionSpec())
+            params = jax.device_put(params, repl)
+            # prefix pytrees: one sharding per argument subtree
+            jit_kwargs["in_shardings"] = (repl, self._shard_in, self._shard_in)
+        else:
+            self._shard_in = None
+        self.params = params
 
         B, (H, W) = batch_size, self.image_size
         Q = cfg.model.num_queries
@@ -70,7 +95,7 @@ class PoseServer:
                 return self._outputs(out)
 
             self._fn = (
-                jax.jit(fwd, donate_argnums=(1, 2))
+                jax.jit(fwd, donate_argnums=(1, 2), **jit_kwargs)
                 .lower(params, img_spec, mask_spec)
                 .compile()
             )
@@ -81,6 +106,9 @@ class PoseServer:
                 "labels": jax.ShapeDtypeStruct((B, Q), jnp.int32),
                 "n_boxes": jax.ShapeDtypeStruct((B,), jnp.int32),
             }
+            if mesh is not None:
+                jit_kwargs["in_shardings"] = (
+                    jit_kwargs["in_shardings"] + (self._shard_in,))
 
             def fwd(params, images, pad_mask, targets):
                 out = self.model.apply(params, images, pad_mask, targets,
@@ -88,11 +116,34 @@ class PoseServer:
                 return self._outputs(out)
 
             self._fn = (
-                jax.jit(fwd, donate_argnums=(1, 2))
+                jax.jit(fwd, donate_argnums=(1, 2), **jit_kwargs)
                 .lower(params, img_spec, mask_spec, tgt_spec)
                 .compile()
             )
             self._needs_boxes = True
+
+    def _put(self, x):
+        """Host array -> (sharded) device array for one input."""
+        if self._shard_in is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._shard_in)
+
+    def _zeros_mask(self):
+        B, (H, W) = self.batch_size, self.image_size
+        if self._shard_in is None:
+            return jnp.zeros((B, H, W), jnp.bool_)
+        return jax.device_put(np.zeros((B, H, W), bool), self._shard_in)
+
+    def _targets(self, boxes, labels, n_boxes):
+        B, Q = self.batch_size, self.cfg.model.num_queries
+        assert boxes is not None, "tracker mode needs boxes (cxcywh, normalized)"
+        return {
+            "boxes": self._put(np.asarray(boxes, np.float32)),
+            "labels": self._put(np.asarray(
+                labels if labels is not None else np.ones((B, Q)), np.int32)),
+            "n_boxes": self._put(np.asarray(
+                n_boxes if n_boxes is not None else np.full(B, Q), np.int32)),
+        }
 
     def _outputs(self, out):
         res = {
@@ -115,19 +166,11 @@ class PoseServer:
         B, (H, W) = self.batch_size, self.image_size
         assert images.shape == (B, H, W, 3), images.shape
         t0 = time.perf_counter()
-        pad_mask = jnp.zeros((B, H, W), jnp.bool_)
-        img = jnp.asarray(images)
+        pad_mask = self._zeros_mask()
+        img = self._put(images)
         if self._needs_boxes:
-            Q = self.cfg.model.num_queries
-            assert boxes is not None, "tracker mode needs boxes (cxcywh, normalized)"
-            targets = {
-                "boxes": jnp.asarray(boxes, jnp.float32),
-                "labels": jnp.asarray(
-                    labels if labels is not None else np.ones((B, Q)), jnp.int32),
-                "n_boxes": jnp.asarray(
-                    n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
-            }
-            out = self._fn(self.params, img, pad_mask, targets)
+            out = self._fn(self.params, img, pad_mask,
+                           self._targets(boxes, labels, n_boxes))
         else:
             out = self._fn(self.params, img, pad_mask)
         host = {k: np.asarray(v) for k, v in out.items()}
@@ -146,19 +189,11 @@ class PoseServer:
         """
         B, (H, W) = self.batch_size, self.image_size
         assert images.shape == (B, H, W, 3), images.shape
-        pad_mask = jnp.zeros((B, H, W), jnp.bool_)
-        img = jnp.asarray(images)
+        pad_mask = self._zeros_mask()
+        img = self._put(images)
         if self._needs_boxes:
-            Q = self.cfg.model.num_queries
-            assert boxes is not None, "tracker mode needs boxes (cxcywh, normalized)"
-            targets = {
-                "boxes": jnp.asarray(boxes, jnp.float32),
-                "labels": jnp.asarray(
-                    labels if labels is not None else np.ones((B, Q)), jnp.int32),
-                "n_boxes": jnp.asarray(
-                    n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
-            }
-            return self._fn(self.params, img, pad_mask, targets)
+            return self._fn(self.params, img, pad_mask,
+                            self._targets(boxes, labels, n_boxes))
         return self._fn(self.params, img, pad_mask)
 
     @staticmethod

@@ -34,6 +34,43 @@ def test_tracker_mode_server(rng):
     assert stats["frames"] == 2 and stats["p50_ms"] > 0
 
 
+def test_data_parallel_server_matches_single(rng):
+    """PoseServer(mesh=...): batch sharded over 'data', identical results.
+
+    One server object serving N local chips (extension over the reference's
+    single-GPU TensorRT deployment)."""
+    from poet_tpu.models import build_model
+    from poet_tpu.parallel.mesh import create_mesh
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    images, pad_mask, targets = make_batch(rng, B=8, H=64, W=64)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, targets)
+
+    kw = dict(
+        boxes=np.asarray(targets["boxes"]), labels=np.asarray(targets["labels"]),
+        n_boxes=np.asarray(targets["n_boxes"]),
+    )
+    single = PoseServer(cfg, params, batch_size=8, image_size=(64, 64))
+    ref = single.infer(np.asarray(images), **kw)
+
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    server = PoseServer(cfg, params, batch_size=8, image_size=(64, 64), mesh=mesh)
+    # inputs really shard: 8 single-example shards
+    assert len(server._put(np.asarray(images)).addressable_shards) == 8
+    out = server.infer(np.asarray(images), **kw)
+    for k in ref:
+        np.testing.assert_allclose(out[k], ref[k], atol=1e-5, rtol=1e-5,
+                                   err_msg=k)
+    # streaming works sharded too (tracker mode is the serial branch)
+    got = list(server.stream(
+        [np.asarray(images)],
+        boxes_fn=lambda prev: (kw["boxes"], kw["labels"], kw["n_boxes"])))
+    np.testing.assert_allclose(got[0]["translation"], ref["translation"],
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_detector_mode_server_aleatoric(rng):
     cfg = tiny_config(bbox_mode="backbone", aleatoric=True)
     cfg.backbone.max_detections = 8
