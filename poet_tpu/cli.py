@@ -120,6 +120,13 @@ def get_args_parser():
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--eval_bop", action="store_true")
+    p.add_argument("--export_model", default=None, type=str,
+                   help="write a portable serving artifact (StableHLO + "
+                        "weights) to this directory and exit — the TensorRT-"
+                        "engine-build analogue; combine with --resume")
+    p.add_argument("--export_batch_size", default=1, type=int)
+    p.add_argument("--export_image_size", default=[480, 640], type=int, nargs=2)
+    p.add_argument("--export_platforms", default=["cpu", "tpu"], type=str, nargs="+")
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--cache_mode", default=False, action="store_true")
     p.add_argument("--decoded_cache_mb", default=0, type=int,
@@ -202,8 +209,11 @@ def args_to_config(args) -> PoETConfig:
     e.model_symmetry = args.model_symmetry
     for k in ("inference", "inference_path", "inference_output", "save_interval",
               "output_dir", "seed", "resume", "start_epoch", "eval", "eval_bop",
-              "mesh_data", "dtype", "zero_opt_state", "rng_impl"):
+              "mesh_data", "dtype", "zero_opt_state", "rng_impl",
+              "export_model", "export_batch_size"):
         setattr(r, k, getattr(args, k))
+    r.export_image_size = tuple(args.export_image_size)
+    r.export_platforms = tuple(args.export_platforms)
     m.dtype = args.dtype
     if getattr(args, "enc_deform_impl", None):
         m.enc_deform_impl = args.enc_deform_impl
@@ -307,6 +317,21 @@ def main(cfg: PoETConfig):
             print("Unexpected Keys:", unexpected)
         if not cfg.runtime.eval:
             cfg.runtime.start_epoch = start_epoch
+
+    if cfg.runtime.export_model:
+        # deployment step (the trtexec analogue): serialize the fixed-shape
+        # inference program + weights to a portable artifact that
+        # ExportedPoseServer runs WITHOUT model code
+        from poet_tpu.engine.serving import export_model
+
+        path = export_model(
+            cfg, params, cfg.runtime.export_model,
+            batch_size=cfg.runtime.export_batch_size,
+            image_size=tuple(cfg.runtime.export_image_size),
+            platforms=tuple(cfg.runtime.export_platforms),
+        )
+        print(f"Exported serving artifact to {path}")
+        return path
 
     if cfg.runtime.eval or cfg.runtime.eval_bop:
         evaluator = build_pose_evaluator(cfg)

@@ -205,6 +205,12 @@ class RuntimeConfig:
     start_epoch: int = 0
     eval: bool = False
     eval_bop: bool = False
+    # Extension (deployment): serialize the fixed-shape inference program +
+    # weights to a portable artifact (engine/serving.py:export_model)
+    export_model: Optional[str] = None
+    export_batch_size: int = 1
+    export_image_size: tuple = (480, 640)
+    export_platforms: tuple = ("cpu", "tpu")
     # TPU runtime (replaces world_size/dist_url/NCCL flags): the mesh shape.
     # data axis == data parallelism across all local + remote devices.
     mesh_data: int = -1             # -1: use all devices

@@ -91,6 +91,30 @@ def test_cli_train_then_eval_then_bop(workspace):
     assert len(seen_img_ids) > 1                      # multiple images exported
 
 
+def test_cli_export_model(workspace, tmp_path):
+    """--export_model writes a portable artifact the ExportedPoseServer runs
+    without model code (the CLI front door of engine/serving.export_model)."""
+    data, out = workspace
+    engine_dir = str(tmp_path / "engine")
+    ret = _run_cli(["--dataset_path", data, "--output_dir", out,
+                    "--export_model", engine_dir,
+                    "--export_batch_size", "2",
+                    "--export_image_size", "48", "64",
+                    "--export_platforms", "cpu"] + BASE)
+    assert ret == engine_dir
+    assert os.path.exists(os.path.join(engine_dir, "module.bin"))
+
+    from poet_tpu.engine.serving import ExportedPoseServer
+
+    server = ExportedPoseServer(engine_dir)
+    assert server.meta["batch_size"] == 2
+    images = np.random.default_rng(0).uniform(size=(2, 48, 64, 3)).astype(np.float32)
+    boxes = np.tile(np.asarray([[0.5, 0.5, 0.3, 0.3]], np.float32), (2, 4, 1))
+    res = server.infer(images, boxes=boxes)
+    assert np.isfinite(res["translation"]).all()
+    assert res["translation"].shape[0] == 2
+
+
 def test_cli_inference(workspace):
     data, out = workspace
     infer_out = os.path.join(out, "infer")
