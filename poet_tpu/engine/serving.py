@@ -335,9 +335,12 @@ def export_model(cfg: PoETConfig, params, path: str, batch_size: int = 1,
 
 
 class ExportedPoseServer:
-    """Run an `export_model` artifact — no model code needed at load time."""
+    """Run an `export_model` artifact — no model code needed at load time.
 
-    def __init__(self, path: str):
+    Serves the same API as the live `PoseServer`: `infer`, `infer_async` /
+    `fetch`, pipelined `stream`, and `latency_stats`."""
+
+    def __init__(self, path: str, latency_window: int = 1000):
         import json
         import os
 
@@ -355,26 +358,44 @@ class ExportedPoseServer:
         self.params = jax.device_put(ocp.PyTreeCheckpointer().restore(
             os.path.abspath(os.path.join(path, "params"))))
         self._call = jax.jit(self._exported.call)
+        self._latencies = deque(maxlen=latency_window)
+        self._needs_boxes = self.meta["bbox_mode"] != "backbone"
+        self.batch_size = self.meta["batch_size"]  # for latency_stats/stream
 
-    def infer(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
-              labels: Optional[np.ndarray] = None,
-              n_boxes: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+    def infer_async(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
+                    labels: Optional[np.ndarray] = None,
+                    n_boxes: Optional[np.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Dispatch one frame without reading the result back (see
+        PoseServer.infer_async)."""
         B = self.meta["batch_size"]
         H, W = self.meta["image_size"]
         Q = self.meta["num_queries"]
         assert images.shape == (B, H, W, 3), images.shape
         pad_mask = jnp.zeros((B, H, W), jnp.bool_)
         img = jnp.asarray(images, jnp.float32)
-        if self.meta["bbox_mode"] == "backbone":
-            out = self._call(self.params, img, pad_mask)
-        else:
-            assert boxes is not None, "tracker mode needs boxes"
-            targets = {
-                "boxes": jnp.asarray(boxes, jnp.float32),
-                "labels": jnp.asarray(
-                    labels if labels is not None else np.ones((B, Q)), jnp.int32),
-                "n_boxes": jnp.asarray(
-                    n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
-            }
-            out = self._call(self.params, img, pad_mask, targets)
-        return {k: np.asarray(v) for k, v in out.items()}
+        if not self._needs_boxes:
+            return self._call(self.params, img, pad_mask)
+        assert boxes is not None, "tracker mode needs boxes"
+        targets = {
+            "boxes": jnp.asarray(boxes, jnp.float32),
+            "labels": jnp.asarray(
+                labels if labels is not None else np.ones((B, Q)), jnp.int32),
+            "n_boxes": jnp.asarray(
+                n_boxes if n_boxes is not None else np.full(B, Q), jnp.int32),
+        }
+        return self._call(self.params, img, pad_mask, targets)
+
+    fetch = staticmethod(PoseServer.fetch)
+
+    def infer(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
+              labels: Optional[np.ndarray] = None,
+              n_boxes: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        t0 = time.perf_counter()
+        out = self.fetch(self.infer_async(images, boxes, labels, n_boxes))
+        self._latencies.append(time.perf_counter() - t0)
+        return out
+
+    # pipelined detector-mode / serial tracker-mode streaming + latency
+    # percentiles — same implementations as the live server
+    stream = PoseServer.stream
+    latency_stats = PoseServer.latency_stats

@@ -123,6 +123,17 @@ def test_export_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(out["rotation"],
                                np.asarray(ref["rotations"][-1]), atol=1e-5)
 
+    # serving-API parity with the live PoseServer: stream + latency stats
+    streamed = list(server.stream(
+        [np.asarray(images)] * 2,
+        boxes_fn=lambda prev: (np.asarray(targets["boxes"]),
+                               np.asarray(targets["labels"]),
+                               np.asarray(targets["n_boxes"]))))
+    assert len(streamed) == 2
+    np.testing.assert_allclose(streamed[0]["translation"], out["translation"],
+                               atol=1e-6)
+    assert server.latency_stats()["frames"] == 1  # stream() bypasses infer()
+
 
 def test_streaming_pipeline(rng):
     """stream() yields one result per frame, matching synchronous infer, with
