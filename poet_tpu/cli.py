@@ -436,6 +436,11 @@ def main(cfg: PoETConfig):
             pending = (metrics, host_step)
             host_step += 1
             if preempted["flag"]:
+                # sync the in-flight step first: the NaN gate must fire
+                # BEFORE the rolling checkpoint can be overwritten with a
+                # non-finite update
+                consume_metrics(*pending)
+                pending = None
                 if output_dir and is_main:
                     save_checkpoint(str(output_dir), "checkpoint", state,
                                     epoch - 1, cfg)

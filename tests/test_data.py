@@ -252,6 +252,17 @@ def test_decoded_image_cache(mini_coco, rng):
     ds0.__getitem__(0, rng=np.random.default_rng(0))
     assert ds0._decoded_cache == {} and ds0._decoded_bytes == 0
 
+    # the full train augmentation pipeline must accept the cache's READ-ONLY
+    # arrays (all transforms copy-on-write) and stay equal to uncached
+    tf_train = make_pose_estimation_transform("train", True, True)
+    ds_t = PoseDataset(img_dir, ann_file, transforms=tf_train,
+                       decoded_cache_mb=64)
+    ref_t = PoseDataset(img_dir, ann_file, transforms=tf_train)
+    ds_t.__getitem__(0, rng=np.random.default_rng(5))  # fill cache
+    img_a, _ = ds_t.__getitem__(0, rng=np.random.default_rng(7))   # cache hit
+    img_b, _ = ref_t.__getitem__(0, rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
 
 def test_synthetic_rgba_composite(tmp_path, rng):
     """'synt' images decode RGBA and composite onto a random background; the
