@@ -165,6 +165,9 @@ def get_args_parser():
                         "dropout masks ~10x cheaper on the TPU VPU)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train epoch here")
+    p.add_argument("--xla_cache_dir", default=None, type=str,
+                   help="persistent XLA compilation cache dir (extension): "
+                        "restarts and preemption resumes skip recompilation")
     return p
 
 
@@ -210,7 +213,7 @@ def args_to_config(args) -> PoETConfig:
     for k in ("inference", "inference_path", "inference_output", "save_interval",
               "output_dir", "seed", "resume", "start_epoch", "eval", "eval_bop",
               "mesh_data", "dtype", "zero_opt_state", "rng_impl",
-              "export_model", "export_batch_size"):
+              "export_model", "export_batch_size", "xla_cache_dir"):
         setattr(r, k, getattr(args, k))
     r.export_image_size = tuple(args.export_image_size)
     r.export_platforms = tuple(args.export_platforms)
@@ -246,6 +249,10 @@ def main(cfg: PoETConfig):
 
     if cfg.runtime.rng_impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", cfg.runtime.rng_impl)
+
+    if cfg.runtime.xla_cache_dir:
+        from poet_tpu.engine.serving import enable_persistent_cache
+        enable_persistent_cache(cfg.runtime.xla_cache_dir)
 
     # seed (main.py:198-202; per-process offset)
     seed = cfg.runtime.seed + jax.process_index()

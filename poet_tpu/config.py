@@ -229,6 +229,11 @@ class RuntimeConfig:
     # deterministic) streams, so this is a training-noise knob, not a
     # numerics change.
     rng_impl: str = "threefry2x32"
+    # Extension (deployment): persistent XLA compilation cache directory for
+    # the CLI (train/eval/inference). Serving always offers it
+    # (engine/serving.py:enable_persistent_cache); here it makes restart and
+    # preemption-resume skip the ~20-40 s train-step recompile.
+    xla_cache_dir: Optional[str] = None
 
 
 @dataclass

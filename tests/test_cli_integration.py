@@ -115,6 +115,23 @@ def test_cli_export_model(workspace, tmp_path):
     assert res["translation"].shape[0] == 2
 
 
+def test_cli_xla_cache_dir(workspace, tmp_path):
+    """--xla_cache_dir populates a persistent XLA compilation cache, so a
+    restart (or preemption resume) skips the train-step recompile."""
+    import jax
+
+    data, _ = workspace
+    cache = str(tmp_path / "xla_cache")
+    try:
+        _run_cli(["--dataset_path", data, "--output_dir", str(tmp_path / "out"),
+                  "--epochs", "1", "--eval_interval", "5", "--save_interval",
+                  "50", "--xla_cache_dir", cache] + BASE)
+        assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+    finally:
+        # don't leak the global cache config into later tests
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_cli_inference(workspace):
     data, out = workspace
     infer_out = os.path.join(out, "infer")
