@@ -7,6 +7,8 @@ counts. The device side of the pipeline (double-buffered async device_put)
 is already covered by the loader's prefetcher.
 
 Usage: python scripts/bench_loader.py [n_images] [workers ...]
+Env: DECODED_CACHE_MB=N sizes the decoded-image cache (--decoded_cache_mb);
+the timed epoch then runs with every decode cached (cache-hit path).
 """
 
 from __future__ import annotations
@@ -30,10 +32,15 @@ def main():
     root = tempfile.mkdtemp()
     make_synthetic_dataset(root, n_train=n_images, n_test=4, H=480, W=640)
 
+    import os
+    cache_mb = int(os.environ.get("DECODED_CACHE_MB", "0"))
     cfg = PoETConfig()
     cfg.data.dataset_path = root
+    cfg.data.decoded_cache_mb = cache_mb
     cfg.model.n_classes = 3
     ds = build_dataset("train", cfg)
+    if cache_mb:
+        print(f"decoded cache: {cache_mb} MB")
 
     for nw in workers_list:
         loader = PoseDataLoader(
