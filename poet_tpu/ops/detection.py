@@ -11,6 +11,7 @@ Oracles: torchvision.ops.nms / roi_align semantics (tested on CPU torch).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence, Tuple
 
 import jax
@@ -176,8 +177,14 @@ def multiscale_roi_align(
     w = jnp.clip(boxes[:, 2] - boxes[:, 0], 0)
     h = jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
     scale = jnp.sqrt(w * h)
+    # torchvision LevelMapper: lvl is the ABSOLUTE FPN level (stride 2^lvl);
+    # the feature-list index is lvl - k_min where k_min = log2(strides[0])
+    # (e.g. strides [4..32] -> k_min=2: a canonical 224 px box pools from
+    # stride 16, not the coarsest map).
+    k_min = int(round(math.log2(strides[0])))
     lvl = jnp.floor(canonical_level + jnp.log2(scale / canonical_scale + 1e-6))
-    lvl = jnp.clip(lvl, 0, len(features) - 1).astype(jnp.int32)
+    lvl = (jnp.clip(lvl, k_min, k_min + len(features) - 1) - k_min).astype(
+        jnp.int32)
 
     outs = jnp.stack(
         [

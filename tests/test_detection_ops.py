@@ -168,13 +168,55 @@ def test_roi_align_constant_features(rng):
 
 
 def test_multiscale_roi_align_levels(rng):
+    """Level selection follows torchvision's LevelMapper: the absolute FPN
+    level minus k_min=log2(strides[0]) indexes the feature list. A 224 px
+    box pools from stride 16 (index 2), a 120 px box from stride 8 (index
+    1) — NOT from the coarsest map (regression: the index was previously
+    the unshifted absolute level)."""
     sizes = [(32, 32), (16, 16), (8, 8), (4, 4)]
     strides = [4, 8, 16, 32]
     feats = [jnp.asarray(rng.normal(size=(h, w, 4)).astype(np.float32)) for h, w in sizes]
-    boxes = jnp.asarray([[0.0, 0, 20, 20], [0.0, 0, 120, 120]], dtype=jnp.float32)
+    boxes = jnp.asarray(
+        [[0.0, 0, 20, 20], [0.0, 0, 120, 120], [0.0, 0, 110, 110]],
+        dtype=jnp.float32)
     out = multiscale_roi_align(feats, strides, boxes, output_size=7)
-    assert out.shape == (2, 7, 7, 4)
+    assert out.shape == (3, 7, 7, 4)
+    # 20 px -> lvl floor(4+log2(20/224))=0 -> clamp to k_min=2 -> index 0
     small = np.asarray(roi_align(feats[0], boxes[:1], 7, 1 / 4, 2))
     np.testing.assert_allclose(np.asarray(out[0]), small[0], atol=1e-5)
-    big = np.asarray(roi_align(feats[3], boxes[1:], 7, 1 / 32, 2))
-    np.testing.assert_allclose(np.asarray(out[1]), big[0], atol=1e-5)
+    # 120 px -> lvl 3 -> index 1 (stride 8)
+    mid = np.asarray(roi_align(feats[1], boxes[1:2], 7, 1 / 8, 2))
+    np.testing.assert_allclose(np.asarray(out[1]), mid[0], atol=1e-5)
+    # 110 px -> lvl 2 -> index 0 (stride 4)
+    lo = np.asarray(roi_align(feats[0], boxes[2:3], 7, 1 / 4, 2))
+    np.testing.assert_allclose(np.asarray(out[2]), lo[0], atol=1e-5)
+
+
+def test_multiscale_roi_align_vs_torchvision(rng):
+    """Full-value oracle: torchvision.ops.MultiScaleRoIAlign on the same
+    features/boxes (reference consumes it inside roi_heads,
+    /root/reference/models/backbone_maskrcnn.py:91)."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    from collections import OrderedDict
+
+    sizes = [(32, 32), (16, 16), (8, 8), (4, 4)]
+    strides = [4, 8, 16, 32]
+    img = 128
+    feats_np = [rng.normal(size=(h, w, 4)).astype(np.float32) for h, w in sizes]
+    boxes_np = np.array(
+        [[0.0, 0, 20, 20], [4.0, 8, 124, 120], [16.0, 16, 90, 100],
+         [0.0, 0, 126, 126], [32.0, 32, 48, 44]], dtype=np.float32)
+
+    ours = np.asarray(multiscale_roi_align(
+        [jnp.asarray(f) for f in feats_np], strides, jnp.asarray(boxes_np),
+        output_size=7, sampling_ratio=2))
+
+    m = torchvision.ops.MultiScaleRoIAlign(
+        ["0", "1", "2", "3"], output_size=7, sampling_ratio=2)
+    x = OrderedDict(
+        (str(i), torch.from_numpy(f).permute(2, 0, 1)[None])
+        for i, f in enumerate(feats_np))
+    ref = m(x, [torch.from_numpy(boxes_np)], [(img, img)])
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
