@@ -23,20 +23,40 @@ from poet_tpu.utils import quaternions as Q
 import jax.numpy as jnp
 
 
+def _local_np(x):
+    """jax/numpy array -> THIS process's batch rows as numpy.
+
+    Fully-addressable arrays (single host, or host numpy) fetch directly. On
+    a multi-host mesh the jit outputs / device batches are globally sharded
+    and cannot be fetched whole (np.asarray raises on non-addressable
+    arrays); this host's rows are exactly its addressable shards (the loader
+    feeds process-local batches via make_array_from_process_local_data), so
+    concatenate those in batch order. gather_pairs_across_hosts later
+    restores the full set.
+    """
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def _matched_pairs_to_host(out, targets, rotation_mode):
     """Extract matched (pred, tgt) pose pairs as numpy. Parity: engine.py:127-141."""
-    valid = np.asarray(out["match_valid"])
-    tgt_idx = np.asarray(out["match_tgt_idx"])
-    pred_t = np.asarray(out["pred_translation"])
-    pred_r = np.asarray(out["pred_rotation"])
-    pred_s = np.asarray(out["pred_scores"]) if "pred_scores" in out else None
+    valid = _local_np(out["match_valid"])
+    tgt_idx = _local_np(out["match_tgt_idx"])
+    pred_t = _local_np(out["pred_translation"])
+    pred_r = _local_np(out["pred_rotation"])
+    pred_s = _local_np(out["pred_scores"]) if "pred_scores" in out else None
     if rotation_mode in ("quat", "silho_quat"):
         pred_r = np.asarray(Q.quat2rot(jnp.asarray(pred_r)))
-    tgt_t = np.asarray(targets["relative_position"])
-    tgt_r = np.asarray(targets["relative_rotation"])
-    labels = np.asarray(targets["labels"])
-    intr = np.asarray(targets.get("intrinsics")) if "intrinsics" in targets else None
-    image_ids = np.asarray(targets["image_id"]) if "image_id" in targets else None
+    tgt_t = _local_np(targets["relative_position"])
+    tgt_r = _local_np(targets["relative_rotation"])
+    labels = _local_np(targets["labels"])
+    intr = _local_np(targets["intrinsics"]) if "intrinsics" in targets else None
+    image_ids = _local_np(targets["image_id"]) if "image_id" in targets else None
 
     pairs = []
     B, Qn = valid.shape
@@ -81,29 +101,33 @@ def parse_scene_img(img_file: str):
     return scene, to_int(os.path.splitext(parts[-1])[0])
 
 
+# field -> (per-pair shape, dtype). Ids stay integral (f32 would corrupt
+# image ids above 2^24); intrinsics travel as the flat (9,) vector the
+# targets carry (structures.py pads (B, Q, 9)) — the same shape the
+# single-process path hands to PoseEvaluator.record.
 _PAIR_FIELDS = (
-    ("cls", ()), ("image_id", ()), ("score", ()),
-    ("pred_rotation", (3, 3)), ("pred_translation", (3,)),
-    ("tgt_rotation", (3, 3)), ("tgt_translation", (3,)),
-    ("intrinsics", (3, 3)),
+    ("cls", (), np.int32), ("image_id", (), np.int64), ("score", (), np.float32),
+    ("pred_rotation", (3, 3), np.float32), ("pred_translation", (3,), np.float32),
+    ("tgt_rotation", (3, 3), np.float32), ("tgt_translation", (3,), np.float32),
+    ("intrinsics", (9,), np.float32),
 )
 
 
 def pack_pairs(pairs, pad_to: int):
     """Matched-pair dicts -> fixed-size field arrays (for cross-host gather).
 
-    Returns {field: (pad_to, *shape) f32} plus 'count' and 'has_intrinsics'.
+    Returns {field: (pad_to, *shape)} plus 'count' and 'has_intrinsics'.
     """
     out = {"count": np.asarray([len(pairs)], np.int32)}
     has_intr = bool(pairs) and pairs[0]["intrinsics"] is not None
     out["has_intrinsics"] = np.asarray([has_intr], np.int32)
-    for field, shape in _PAIR_FIELDS:
-        arr = np.zeros((pad_to,) + shape, np.float32)
+    for field, shape, dtype in _PAIR_FIELDS:
+        arr = np.zeros((pad_to,) + shape, dtype)
         for i, pr in enumerate(pairs):
             v = pr.get(field, 1.0 if field == "score" else None)
             if v is None:
                 continue
-            arr[i] = np.asarray(v, np.float32)
+            arr[i] = np.asarray(v, dtype)
         out[field] = arr
     return out
 
@@ -244,7 +268,7 @@ def bop_evaluate(model, params, data_loader, cfg: PoETConfig, image_set: str,
         for images, pad_mask, targets in data_loader.epoch(0):
             t0 = time.time()
             out = forward(params, images, pad_mask, targets)
-            np.asarray(out["pred_translation"])  # force sync for honest timing
+            _local_np(out["pred_translation"])  # force sync for honest timing
             pred_time = time.time() - t0
             pairs = _matched_pairs_to_host(out, targets, cfg.model.rotation_representation)
             for pr in pairs:

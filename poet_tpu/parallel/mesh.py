@@ -40,8 +40,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch onto the mesh, leading axis split over 'data'."""
+    """Place a host batch onto the mesh, leading axis split over 'data'.
+
+    Single-process: a plain device_put. Multi-host: each process holds only
+    its LOCAL batch (the loader shards the dataset by process), so the
+    global array must be assembled with make_array_from_process_local_data —
+    device_put would treat the local batch as the global value and stitch a
+    patchwork that silently drops rows. The global batch dim becomes
+    local_batch * process_count.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

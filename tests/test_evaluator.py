@@ -268,12 +268,16 @@ class TestMultiHostEvalGather:
         for i in range(n):
             out.append(dict(
                 cls=int(rng.integers(1, 5)),
-                image_id=i,
+                # include ids above 2^24 (f32 integer precision): the gather
+                # must carry ids integrally, not through float32
+                image_id=i + 16_777_220,
                 pred_rotation=rng.normal(size=(3, 3)).astype(np.float32),
                 pred_translation=rng.normal(size=(3,)).astype(np.float32),
                 tgt_rotation=rng.normal(size=(3, 3)).astype(np.float32),
                 tgt_translation=rng.normal(size=(3,)).astype(np.float32),
-                intrinsics=rng.normal(size=(3, 3)).astype(np.float32)
+                # real pairs carry the flat (9,) vector from the padded
+                # targets (structures.py intrinsics (B, Q, 9))
+                intrinsics=rng.normal(size=(9,)).astype(np.float32)
                 if with_intr else None,
             ))
         return out
