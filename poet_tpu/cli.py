@@ -48,6 +48,11 @@ def get_args_parser():
     p.add_argument("--backbone_conf_thresh", default=0.4, type=float)
     p.add_argument("--backbone_iou_thresh", default=0.5, type=float)
     p.add_argument("--backbone_agnostic_nms", action="store_true")
+    p.add_argument("--yolo_box_decode", default="u5", type=str,
+                   choices=("u5", "darknet"),
+                   help="yolov4 head decode: 'u5' = the reference wrapper's "
+                        "PyTorch decode; 'darknet' = classic darknet "
+                        "(cfg scale_x_y, exp-wh) for darknet-trained weights")
     p.add_argument("--encoder_min_stride", default=1, type=int,
                    help="drop backbone feature maps finer than this stride "
                         "from the transformer input (extension; detections "
@@ -188,6 +193,7 @@ def args_to_config(args) -> PoETConfig:
     b.iou_thresh = args.backbone_iou_thresh
     b.agnostic_nms = args.backbone_agnostic_nms
     b.encoder_min_stride = args.encoder_min_stride
+    b.yolo_box_decode = args.yolo_box_decode
     b.position_embedding = args.position_embedding
     b.position_embedding_scale = args.position_embedding_scale
     for k in ("bbox_mode", "reference_points", "query_embedding",

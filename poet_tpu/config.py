@@ -82,6 +82,11 @@ class BackboneConfig:
     # every map (reference behavior). Honored by the yolov4 backbone; the
     # rcnn path already emits strides 16/32/64 only (FPN level pruning).
     encoder_min_stride: int = 1
+    # yolov4 box decode: 'u5' = the reference wrapper's PyTorch decode
+    # (also darknet new_coords=1/scale_x_y=2); 'darknet' = classic darknet
+    # new_coords=0, honoring the cfg's per-head scale_x_y with exp-wh — for
+    # .weights files trained with darknet itself.
+    yolo_box_decode: str = "u5"
 
 
 @dataclass

@@ -75,6 +75,7 @@ def build_model(cfg: PoETConfig) -> PoET:
             agnostic_nms=cfg.backbone.agnostic_nms,
             max_detections=cfg.backbone.max_detections,
             encoder_min_stride=cfg.backbone.encoder_min_stride,
+            box_decode=cfg.backbone.yolo_box_decode,
             dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
         )
     else:

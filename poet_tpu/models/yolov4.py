@@ -11,8 +11,9 @@ ScaledYOLOv4-based) is external — so this module:
     route (concat), shortcut (add), maxpool (SPP, stride 1), upsample,
   * decodes the three yolo heads with the ScaledYOLOv4/u5 box decode
     (xy = (2σ(t) − 0.5 + grid)·stride, wh = (2σ(t))²·anchor — the decode the
-    reference wrapper's PyTorch code uses; the raw darknet exp-decode is
-    available via decode='darknet'),
+    reference wrapper's PyTorch code uses; the classic darknet decode,
+    honoring the cfg's scale_x_y with exp-wh, is available via
+    box_decode='darknet' / --yolo_box_decode darknet),
   * applies confidence threshold + (optionally class-agnostic) NMS with
     static shapes,
   * exposes the three CSP-PAN feature maps (strides 8/16/32) for PoET.
@@ -156,6 +157,12 @@ def decode_yolo_u5(raw: jnp.ndarray, anchors, num_classes: int, stride: int):
 
     raw: (B, H, W, A*(5+nc)) -> boxes (B, H*W*A, 4) xyxy pixels,
     obj*cls scores (B, H*W*A, nc).
+
+    This is the decode the reference's external PyTorch wrapper applies
+    (xy = (2σ−0.5+grid)·stride, wh = (2σ)²·anchor) regardless of the cfg's
+    scale_x_y — and also exactly what darknet computes for new_coords=1 /
+    scale_x_y=2 cfgs. Weights trained with CLASSIC darknet (new_coords=0)
+    need decode_yolo_darknet instead (box_decode='darknet').
     """
     B, H, W, _ = raw.shape
     A = len(anchors)
@@ -170,6 +177,31 @@ def decode_yolo_u5(raw: jnp.ndarray, anchors, num_classes: int, stride: int):
     xy = (xy * 2.0 - 0.5 + grid[None, :, :, None, :]) * stride
     anc = jnp.asarray(anchors, raw.dtype)                            # (A, 2)
     wh = (wh * 2.0) ** 2 * anc[None, None, None, :, :]
+    boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+    scores = obj * cls
+    return boxes.reshape(B, H * W * A, 4), scores.reshape(B, H * W * A, num_classes)
+
+
+def decode_yolo_darknet(raw: jnp.ndarray, anchors, num_classes: int,
+                        stride: int, scale_x_y: float = 1.0):
+    """Classic darknet (AlexeyAB, new_coords=0) decode for one head:
+    xy = (σ·s − (s−1)/2 + grid)·stride with s = the cfg's scale_x_y,
+    wh = exp(t)·anchor. For weights trained with darknet itself against a
+    cfg like configs/ycbv_yolov4-csp.cfg (scale_x_y=1.05)."""
+    B, H, W, _ = raw.shape
+    A = len(anchors)
+    raw = raw.reshape(B, H, W, A, 5 + num_classes)
+    xy = jax.nn.sigmoid(raw[..., 0:2]) * scale_x_y - (scale_x_y - 1.0) / 2.0
+    # clip like darknet's box_w bound to avoid inf from untrained logits
+    wh = jnp.exp(jnp.clip(raw[..., 2:4], -20.0, 20.0))
+    obj = jax.nn.sigmoid(raw[..., 4:5])
+    cls = jax.nn.sigmoid(raw[..., 5:])
+    gx = jnp.arange(W, dtype=raw.dtype)
+    gy = jnp.arange(H, dtype=raw.dtype)
+    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (H, W, 2)
+    xy = (xy + grid[None, :, :, None, :]) * stride
+    anc = jnp.asarray(anchors, raw.dtype)                            # (A, 2)
+    wh = wh * anc[None, None, None, :, :]
     boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
     scores = obj * cls
     return boxes.reshape(B, H * W * A, 4), scores.reshape(B, H * W * A, num_classes)
@@ -196,6 +228,10 @@ class YOLOv4Backbone(nn.Module):
     # detections but NOT returned as transformer inputs (TPU-first option;
     # see BackboneConfig.encoder_min_stride). 1 = reference behavior.
     encoder_min_stride: int = 1
+    # 'u5' (default) = the reference wrapper's PyTorch decode;
+    # 'darknet' = classic darknet new_coords=0 decode honoring the cfg's
+    # per-head scale_x_y, for weights trained with darknet itself.
+    box_decode: str = "u5"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -213,9 +249,16 @@ class YOLOv4Backbone(nn.Module):
         for raw, spec in zip(yolo_inputs, yolo_specs):
             stride = img_h // raw.shape[1]
             # decode/score/NMS in f32 for ranking stability
-            boxes, scores = decode_yolo_u5(
-                raw.astype(jnp.float32), spec["anchors"], spec["classes"], stride
-            )
+            if self.box_decode == "darknet":
+                boxes, scores = decode_yolo_darknet(
+                    raw.astype(jnp.float32), spec["anchors"], spec["classes"],
+                    stride, scale_x_y=spec["scale_x_y"],
+                )
+            else:
+                boxes, scores = decode_yolo_u5(
+                    raw.astype(jnp.float32), spec["anchors"], spec["classes"],
+                    stride,
+                )
             all_boxes.append(boxes)
             all_scores.append(scores)
         boxes = jnp.concatenate(all_boxes, axis=1)        # (B, N, 4)

@@ -161,6 +161,46 @@ def test_decode_yolo_u5_geometry(rng):
     np.testing.assert_allclose(np.asarray(scores), 0.25, atol=1e-6)  # 0.5*0.5
 
 
+def test_decode_yolo_darknet_geometry(rng):
+    """Classic darknet decode: zero logits -> xy at cell centers for any
+    scale_x_y (σ·s − (s−1)/2 = 0.5), wh = exp(0)·anchor = anchor; and
+    random logits match a numpy transcription of darknet's get_yolo_box."""
+    from poet_tpu.models.yolov4 import decode_yolo_darknet
+
+    B, H, W, A, nc = 1, 4, 4, 3, 2
+    anchors = [(10, 13), (16, 30), (33, 23)]
+    raw0 = jnp.zeros((B, H, W, A * (5 + nc)))
+    boxes, _ = decode_yolo_darknet(raw0, anchors, nc, stride=8, scale_x_y=1.05)
+    boxes = np.asarray(boxes).reshape(H, W, A, 4)
+    cx = (boxes[0, 0, 0, 0] + boxes[0, 0, 0, 2]) / 2
+    np.testing.assert_allclose(cx, 0.5 * 8, atol=1e-5)
+    np.testing.assert_allclose(boxes[0, 0, 0, 2] - boxes[0, 0, 0, 0], 10.0,
+                               atol=1e-5)
+
+    raw = rng.normal(size=(B, H, W, A * (5 + nc))).astype(np.float32)
+    ours, _ = decode_yolo_darknet(jnp.asarray(raw), anchors, nc, stride=8,
+                                  scale_x_y=1.05)
+    ours = np.asarray(ours).reshape(H, W, A, 4)
+    r = raw.reshape(B, H, W, A, 5 + nc)[0]
+    sig = lambda x: 1.0 / (1.0 + np.exp(-x))
+    for (gy, gx, a) in [(0, 0, 0), (2, 3, 1), (3, 1, 2)]:
+        cx = (sig(r[gy, gx, a, 0]) * 1.05 - 0.025 + gx) * 8
+        cy = (sig(r[gy, gx, a, 1]) * 1.05 - 0.025 + gy) * 8
+        w = np.exp(r[gy, gx, a, 2]) * anchors[a][0]
+        h = np.exp(r[gy, gx, a, 3]) * anchors[a][1]
+        np.testing.assert_allclose(
+            ours[gy, gx, a],
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], rtol=1e-5)
+
+    # scale_x_y=2 darknet xy == u5 xy (the new_coords=1 equivalence)
+    d2, _ = decode_yolo_darknet(jnp.asarray(raw), anchors, nc, stride=8,
+                                scale_x_y=2.0)
+    u5, _ = decode_yolo_u5(jnp.asarray(raw), anchors, nc, stride=8)
+    d2c = (np.asarray(d2)[..., :2] + np.asarray(d2)[..., 2:]) / 2
+    u5c = (np.asarray(u5)[..., :2] + np.asarray(u5)[..., 2:]) / 2
+    np.testing.assert_allclose(d2c, u5c, rtol=1e-5)
+
+
 def test_yolov4_backbone_end_to_end(rng):
     sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
     bb = YOLOv4Backbone(sections, conf_thresh=0.2, max_detections=5, pre_nms=64)
