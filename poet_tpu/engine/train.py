@@ -77,8 +77,14 @@ def make_lr_schedule(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int):
 def make_optimizer(cfg: PoETConfig, params, steps_per_epoch: int) -> optax.GradientTransformation:
     o = cfg.optim
 
+    # Under MultiSteps the inner transform's count advances once per
+    # grad_accum_steps micro-batches, so its schedule must be sized in
+    # UPDATES per epoch, not micro-batches — otherwise the StepLR drop
+    # fires grad_accum_steps x too late.
+    updates_per_epoch = max(1, steps_per_epoch // max(o.grad_accum_steps, 1))
+
     def tx_for(lr_scale: float):
-        sched = make_lr_schedule(o.lr * lr_scale, o.lr_drop, steps_per_epoch)
+        sched = make_lr_schedule(o.lr * lr_scale, o.lr_drop, updates_per_epoch)
         if o.sgd:
             inner = optax.chain(
                 optax.add_decayed_weights(o.weight_decay),

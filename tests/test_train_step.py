@@ -200,6 +200,47 @@ def test_gradient_accumulation(setup):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+def test_grad_accum_lr_drop_epoch_alignment():
+    """Under MultiSteps the inner schedule counts UPDATES (one per
+    grad_accum_steps micro-batches); the StepLR drop must still land at the
+    configured EPOCH of micro-steps (regression: the schedule was sized in
+    micro-batches, firing the drop grad_accum_steps x too late)."""
+    import optax
+    from poet_tpu.engine.train import make_optimizer
+
+    cfg = PoETConfig()
+    cfg.optim.sgd = True
+    cfg.optim.weight_decay = 0.0
+    cfg.optim.clip_max_norm = 0.0
+    cfg.optim.grad_accum_steps = 2
+    cfg.optim.lr_drop = 1          # drop 10x after every epoch
+    lr = cfg.optim.lr
+    steps_per_epoch = 4            # micro-steps per epoch
+
+    params = {"params": {"head": {"kernel": jnp.zeros((3,))}}}
+    tx = make_optimizer(cfg, params, steps_per_epoch=steps_per_epoch)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    deltas = []
+    p = params
+    for _ in range(2 * steps_per_epoch):   # two epochs of micro-steps
+        upd, state = tx.update(grads, state, p)
+        prev = p["params"]["head"]["kernel"]
+        p = optax.apply_updates(p, upd)
+        deltas.append(float(np.asarray(p["params"]["head"]["kernel"][0] - prev[0])))
+
+    # sgd(momentum=0.9), constant unit grads: velocity v_k = sum 0.9^i,
+    # delta per UPDATE = -lr_epoch * v_k; micro-steps between updates are 0.
+    v = 0.0
+    expect = []
+    for k in range(2 * steps_per_epoch // 2):       # 4 updates
+        v = 0.9 * v + 1.0
+        lr_k = lr * (0.1 ** (k // (steps_per_epoch // 2)))  # 2 updates/epoch
+        expect.extend([0.0, -lr_k * v])
+    np.testing.assert_allclose(deltas, expect, rtol=1e-5, atol=1e-9)
+
+
 def test_zero_boxes_batch_stays_finite(setup):
     """A batch where every image has ZERO ground-truth boxes (legal after the
     degenerate-box filter) must produce a finite loss and finite gradients —
