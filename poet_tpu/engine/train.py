@@ -103,6 +103,10 @@ def make_optimizer(cfg: PoETConfig, params, steps_per_epoch: int) -> optax.Gradi
     transforms = {
         "main": tx_for(1.0),
         "linear_proj": tx_for(o.lr_linear_proj_mult),
+        # Parity note: backbone params always label 'frozen' (label_params),
+        # exactly like the reference, whose Joiner raises on train_backbone
+        # (backbone.py:36-40) so its lr_backbone group is always empty too.
+        # This group exists for the day backbone training is enabled.
         "backbone": tx_for(o.lr_backbone / o.lr),
         "frozen": optax.set_to_zero(),
     }

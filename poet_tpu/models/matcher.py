@@ -91,10 +91,7 @@ def match_poses(
     cost = jnp.where(pad, BIG_COST, cost)
 
     tgt_idx = hungarian(cost)                                   # (B, Q)
-    valid = (jnp.arange(Q)[None, :] < n_pred[:, None]) & (
-        jnp.take_along_axis(jnp.broadcast_to(jnp.arange(Q)[None, :], (B, Q)), tgt_idx, axis=1)
-        < n_tgt[:, None]
-    )
+    valid = (jnp.arange(Q)[None, :] < n_pred[:, None]) & (tgt_idx < n_tgt[:, None])
 
     if bbox_mode == "backbone":
         # Post-filter (matcher.py:205-227): kill matches whose predicted class

@@ -38,7 +38,7 @@ class FrozenBatchNorm(nn.Module):
     """
 
     features: int
-    eps: float = 0.0  # torchvision BatchNorm2d uses eps=1e-5; set at call site
+    eps: float = 1e-5  # torchvision FrozenBatchNorm2d default
 
     @nn.compact
     def __call__(self, x):
@@ -46,7 +46,7 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
-        inv = scale * jax.lax.rsqrt(var + 1e-5)
+        inv = scale * jax.lax.rsqrt(var + self.eps)
         off = bias - mean * inv
         return x * inv.astype(x.dtype) + off.astype(x.dtype)
 
