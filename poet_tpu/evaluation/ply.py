@@ -75,7 +75,12 @@ def _read_header(f) -> Tuple[Dict[str, Any], str]:
     elements: List[Tuple[str, int, list]] = []
     current = None
     while True:
-        line = f.readline().decode("ascii", errors="replace").strip()
+        raw = f.readline()
+        if not raw:
+            # EOF before end_header: raise instead of spinning forever on
+            # the empty readline() of a truncated/corrupt file
+            raise ValueError("truncated PLY header: no end_header before EOF")
+        line = raw.decode("ascii", errors="replace").strip()
         if line.startswith("comment") or not line:
             continue
         toks = line.split()
@@ -102,7 +107,12 @@ def _read_ascii_element(f, count, props):
         if has_list:
             # face-style: first token is the list length
             n = int(toks[0])
-            rows.append([float(t) for t in toks[1 : 1 + n]][:3])
+            if n != 3:
+                # BOP-toolkit/reference behavior (model_tools.py): only
+                # triangular faces — silently dropping vertices would yield
+                # wrong geometry
+                raise ValueError(f"only triangular PLY faces supported, got {n}")
+            rows.append([float(t) for t in toks[1 : 1 + n]])
         else:
             rows.append([float(t) for t in toks[: len(props)]])
     return np.asarray(rows, dtype=np.float64)
@@ -124,10 +134,13 @@ def _read_binary_element(f, count, props, fmt):
             if len(p) == 4:
                 _, _, len_type, val_type = p
                 (n,) = struct.unpack(endian + _STRUCT_FMT[len_type], f.read(_SIZES[len_type]))
+                if n != 3:
+                    raise ValueError(
+                        f"only triangular PLY faces supported, got {n}")
                 vals = struct.unpack(
                     endian + _STRUCT_FMT[val_type] * n, f.read(_SIZES[val_type] * n)
                 )
-                row.extend(vals[:3])
+                row.extend(vals)
             else:
                 (v,) = struct.unpack(endian + _STRUCT_FMT[p[1]], f.read(_SIZES[p[1]]))
                 row.append(v)

@@ -357,15 +357,20 @@ class PoseEvaluator:
         json_file = open(output_dir + f"{file_stem}.json", "w")
         log_file.write("\n* {} *\n {:^}\n* {} *\n".format("-" * 100, title, "-" * 100))
 
-        self.classes = sorted(self.classes)
-        n_classes = len(self.classes)
+        # Sorted COPY for report layout only: self.classes is the positional
+        # cls_idx -> name mapping record() indexes into — re-sorting it in
+        # place (as the reference does, pose_evaluator.py:106) corrupts every
+        # later epoch's attribution whenever classes.json is not already
+        # alphabetical (conscious fix, documented in COMPONENTS.md).
+        classes = sorted(self.classes)
+        n_classes = len(classes)
         auc_grid = np.arange(0, _AUC_MAX, _DX)
         results = {"thresholds": [0.02, 0.05, 0.10]}
 
         count_all = np.zeros(n_classes)
         acc = {k: np.zeros(n_classes) for k in ("0.02", "0.05", "0.10", "auc")}
 
-        for i, cls in enumerate(self.classes):
+        for i, cls in enumerate(classes):
             errors = self._class_errors(cls, method_for(cls))
             n_poses = len(errors)
             count_all[i] = n_poses

@@ -229,6 +229,53 @@ def test_ply_binary(tmp_path, rng):
     np.testing.assert_allclose(out["pts"], pts, rtol=1e-6)
 
 
+def test_evaluator_class_order_stable_across_epochs(rng, tmp_path):
+    """cls_idx -> name is positional (classes.json order); running a metric
+    pass must NOT re-sort self.classes in place (regression: the second
+    epoch's record() attributed poses to the wrong class whenever the class
+    list was not already alphabetical)."""
+    classes = ["obj_z", "obj_a"]          # deliberately non-alphabetical
+    models = {c: {"pts": _pts(rng, 100)} for c in classes}
+    models_info = {c: {"diameter": 120.0} for c in classes}
+    ev = PoseEvaluator(models, classes, models_info,
+                       {c: False for c in classes})
+
+    def one_pose():
+        R = np.eye(3)
+        t = np.zeros(3)
+        ev.record(1, R, t, R, t)          # cls_idx 1 -> classes[0] = obj_z
+
+    one_pose()
+    ev.evaluate_pose_add(str(tmp_path) + "/e0/")
+    assert ev.classes == classes          # untouched by the metric pass
+    one_pose()                            # epoch 2: must still hit obj_z
+    assert ev.num["obj_z"] == 2.0 and ev.num["obj_a"] == 0.0
+
+
+def test_ply_truncated_header_raises(tmp_path):
+    """EOF before end_header must raise, not spin forever (regression: the
+    'empty line -> continue' branch retried b'' from readline() infinitely)."""
+    p = tmp_path / "trunc.ply"
+    p.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 1\n")
+    with pytest.raises(ValueError, match="end_header"):
+        load_ply(str(p))
+
+
+def test_ply_non_triangular_faces_raise(tmp_path):
+    """Quad faces must raise (BOP-toolkit/reference behavior), not silently
+    truncate to the first three vertices."""
+    p = tmp_path / "quad.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 4\nproperty float x\nproperty float y\nproperty float z\n"
+        "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+        "4 0 1 2 3\n"
+    )
+    with pytest.raises(ValueError, match="triangular"):
+        load_ply(str(p))
+
+
 def test_reprojection_error(rng):
     from poet_tpu.evaluation.pose_evaluator import project_pts, reprojection_errors, se3_mul
 
