@@ -142,6 +142,25 @@ def get_args_parser():
                    help="accepted for reference-script compatibility and "
                         "ignored (CUDA per-process device rank, main.py:187; "
                         "the TPU runtime assigns devices via the mesh)")
+    # The reference's torch.distributed plumbing (main.py:176-187). All six
+    # are accepted-and-ignored so reference launch commands run unmodified:
+    # process placement comes from the TPU runtime (one process per host) and
+    # rendezvous from jax.distributed.initialize(); see MIGRATION.md.
+    for flag, default in (("--device", "cuda"), ("--dist_backend", "nccl"),
+                          ("--dist_url", "env://")):
+        p.add_argument(flag, default=default, type=str,
+                       help="accepted for reference-script compatibility and "
+                            "ignored (torch.distributed plumbing; the mesh "
+                            "runtime replaces it)")
+    for flag in ("--world_size", "--local_rank"):
+        p.add_argument(flag, default=None, type=int,
+                       help="accepted for reference-script compatibility and "
+                            "ignored (jax.process_count()/process_index() "
+                            "are authoritative)")
+    p.add_argument("--distributed", action="store_true",
+                   help="accepted for reference-script compatibility and "
+                        "ignored (multi-host turns on via "
+                        "JAX_COORDINATOR_ADDRESS / the TPU pod runtime)")
     p.add_argument("--mesh_data", default=-1, type=int,
                    help="devices on the data axis (-1: all)")
     p.add_argument("--grad_accum_steps", default=1, type=int,
