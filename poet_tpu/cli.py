@@ -509,11 +509,28 @@ def main(cfg: PoETConfig):
     pose_evaluate(model, state.params, evaluator, loader_val, cfg, cfg.data.eval_set)
 
 
+def _warn_ignored_distributed_flags(args):
+    """One-line notice when a reference torch-distributed flag is set to a
+    non-default value — the flags are accepted for drop-in compatibility but
+    have no effect (the device mesh replaces the process group)."""
+    defaults = {"gpu": 0, "device": "cuda", "dist_backend": "nccl",
+                "dist_url": "env://", "world_size": None, "local_rank": None,
+                "distributed": False}
+    set_flags = [f"--{k}" for k, d in defaults.items()
+                 if getattr(args, k, d) != d]
+    if set_flags:
+        import jax
+
+        print(f"note: {', '.join(set_flags)} ignored (torch-distributed "
+              f"compat flags); using the {len(jax.devices())}-device mesh")
+
+
 def run():
     parser = argparse.ArgumentParser(
         "PoET training and evaluation script", parents=[get_args_parser()]
     )
     args = parser.parse_args()
+    _warn_ignored_distributed_flags(args)
     cfg = args_to_config(args)
     if cfg.runtime.output_dir:
         Path(cfg.runtime.output_dir).mkdir(parents=True, exist_ok=True)

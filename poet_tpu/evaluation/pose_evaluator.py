@@ -498,11 +498,34 @@ def load_model_symmetry(path: str, classes: Dict[str, str]) -> Dict[str, bool]:
     return {name: sym[name] for name in classes.values()}
 
 
+def _resolve_asset(dataset_path: str, rel: str, shipped: str) -> str:
+    """Resolve an evaluator asset path with reference semantics + fallback.
+
+    The reference joins dataset_path + flag (pose_evaluator_init.py:15-21 via
+    main.py defaults). We keep that, but when the joined path is missing we
+    fall back to (a) the flag value as a standalone path, then (b) the asset
+    shipped in-repo under dataset_files/ — so `--eval` runs out of the box.
+    """
+    joined = dataset_path + rel
+    for cand in (joined, rel):
+        if cand and os.path.exists(cand):
+            return cand
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(repo_root, "dataset_files", shipped)
+    if os.path.exists(cand):
+        return cand
+    return joined  # fail later with the reference-style path in the error
+
+
 def build_pose_evaluator(cfg) -> PoseEvaluator:
     """Parity: pose_evaluator_init.py:73-92 (driven by our config tree)."""
-    classes = load_classes(cfg.data.dataset_path + cfg.eval.class_info)
+    ds = cfg.data.dataset
+    classes = load_classes(_resolve_asset(
+        cfg.data.dataset_path, cfg.eval.class_info, f"{ds}_classes.json"))
     models, models_info = load_models(cfg.data.dataset_path + cfg.eval.models_path, classes)
-    symmetry = load_model_symmetry(cfg.data.dataset_path + cfg.eval.model_symmetry, classes)
+    symmetry = load_model_symmetry(_resolve_asset(
+        cfg.data.dataset_path, cfg.eval.model_symmetry, f"{ds}_symmetries.json"),
+        classes)
     class_names = [classes[k] for k in classes]
     return PoseEvaluator(
         models, class_names, models_info, symmetry,

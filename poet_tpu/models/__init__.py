@@ -67,9 +67,21 @@ def build_model(cfg: PoETConfig) -> PoET:
 
         from poet_tpu.models.yolov4 import YOLOv4Backbone, load_cfg_sections
 
-        assert cfg.backbone.cfg_path, "--backbone_cfg (darknet cfg) required for yolov4"
+        cfg_path = cfg.backbone.cfg_path
+        if not cfg_path:
+            # fall back to the shipped cfg for the chosen dataset (generated
+            # by scripts/gen_yolov4_csp_cfg.py) so --backbone yolov4 runs
+            # out of the box, mirroring the reference's configs/ layout.
+            import os
+
+            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            cfg_path = os.path.join(
+                repo_root, "configs", f"{cfg.data.dataset}_yolov4-csp.cfg")
+            assert os.path.exists(cfg_path), (
+                "--backbone_cfg (darknet cfg) required for yolov4; shipped "
+                f"default not found at {cfg_path}")
         backbone = YOLOv4Backbone(
-            cfg_sections=load_cfg_sections(cfg.backbone.cfg_path),
+            cfg_sections=load_cfg_sections(cfg_path),
             conf_thresh=cfg.backbone.conf_thresh,
             iou_thresh=cfg.backbone.iou_thresh,
             agnostic_nms=cfg.backbone.agnostic_nms,

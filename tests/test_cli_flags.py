@@ -7,7 +7,10 @@ placement comes from the TPU runtime and the mesh (MIGRATION.md).
 """
 
 import argparse
+import os
 import re
+
+import pytest
 
 
 def _parse(argv):
@@ -19,7 +22,10 @@ def _parse(argv):
 
 
 def test_every_reference_flag_is_accepted():
-    ref = open("/root/reference/main.py").read()
+    ref_main = os.environ.get("POET_REFERENCE_MAIN", "/root/reference/main.py")
+    if not os.path.exists(ref_main):
+        pytest.skip("reference checkout not available")
+    ref = open(ref_main).read()
     ref_flags = set(re.findall(r"add_argument\(\s*['\"](--[\w-]+)", ref))
     assert ref_flags, "reference flag extraction failed"
     from poet_tpu.cli import get_args_parser

@@ -377,3 +377,72 @@ def test_parse_scene_img():
     assert parse_scene_img("000002/rgb/000007.png") == (2, 7)  # no split prefix
     assert parse_scene_img("weird.png") == (0, 0)
     assert parse_scene_img("") == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Shipped dataset_files assets + asset-path fallback resolution
+# ---------------------------------------------------------------------------
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_ascii_ply(path, pts):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for q in pts:
+            f.write(f"{q[0]} {q[1]} {q[2]}\n")
+
+
+@pytest.mark.parametrize("dataset,n_classes", [("ycbv", 21), ("lmo", 8)])
+def test_shipped_dataset_files(dataset, n_classes):
+    """dataset_files/*.json ship the class map + symmetry flags for eval."""
+    import json
+
+    with open(os.path.join(REPO_ROOT, "dataset_files", f"{dataset}_classes.json")) as f:
+        classes = json.load(f)
+    with open(os.path.join(REPO_ROOT, "dataset_files", f"{dataset}_symmetries.json")) as f:
+        sym = json.load(f)
+    assert len(classes) == n_classes
+    # every class has a symmetry flag, keys are numeric-string BOP object ids
+    assert set(sym) == set(classes.values())
+    assert all(isinstance(v, bool) for v in sym.values())
+    assert all(k == str(int(k)) for k in classes)
+    # factual spot checks (BOP symmetric-object sets)
+    if dataset == "ycbv":
+        assert sym["024_bowl"] and sym["061_foam_brick"]
+        assert not sym["025_mug"]
+    else:
+        assert sym["eggbox"] and sym["glue"] and not sym["ape"]
+
+
+def test_build_pose_evaluator_shipped_fallback(tmp_path, rng):
+    """build_pose_evaluator falls back to the in-repo dataset_files when the
+    reference-style dataset_path-relative JSONs are absent."""
+    import json
+
+    from poet_tpu.config import PoETConfig
+    from poet_tpu.evaluation import build_pose_evaluator
+
+    models_dir = tmp_path / "models_eval"
+    models_dir.mkdir()
+    with open(os.path.join(REPO_ROOT, "dataset_files", "lmo_classes.json")) as f:
+        classes = json.load(f)
+    info = {}
+    for cls_id in classes:
+        _write_ascii_ply(models_dir / f"obj_{int(cls_id):06d}.ply",
+                         rng.normal(size=(16, 3)) * 50)
+        info[cls_id] = {"diameter": 150.0}
+    with open(models_dir / "models_info.json", "w") as f:
+        json.dump(info, f)
+
+    cfg = PoETConfig()
+    cfg.data.dataset = "lmo"
+    cfg.data.dataset_path = str(tmp_path)          # no /annotations inside
+    cfg.eval.models_path = "/models_eval/"
+    ev = build_pose_evaluator(cfg)
+    assert ev.diameter_relative
+    assert set(ev.classes) == set(classes.values())
+    assert ev.model_symmetry["eggbox"] and not ev.model_symmetry["cat"]

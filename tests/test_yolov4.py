@@ -317,3 +317,82 @@ def test_poet_with_trimmed_encoder(rng):
     out = model.apply(params, images2, pad_mask2, targets)
     assert out["translations"].shape == (2, 2, 5, 3)
     assert np.isfinite(np.asarray(out["translations"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Shipped cfg assets (generated by scripts/gen_yolov4_csp_cfg.py)
+# ---------------------------------------------------------------------------
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_CFG = "/root/reference/configs/ycbv_yolov4-csp.cfg"
+
+
+def _canonical_graph(path):
+    """Reduce a darknet cfg to its semantic layer graph (absolute indices)."""
+    secs = parse_darknet_cfg(open(path).read())
+    out = []
+    for i, s in enumerate(secs):
+        t, li = s["type"], i - 1
+        if t == "net":
+            out.append(("net", s.get("width"), s.get("height"), s.get("channels")))
+        elif t == "convolutional":
+            out.append(("conv", int(s["filters"]), int(s["size"]),
+                        int(s.get("stride", 1)), s.get("activation", "linear"),
+                        int(s.get("batch_normalize", 0))))
+        elif t == "route":
+            idx = [int(x) for x in str(s["layers"]).split(",")]
+            out.append(("route", tuple(j if j >= 0 else li + j for j in idx)))
+        elif t == "shortcut":
+            f = int(s["from"])
+            out.append(("shortcut", f if f >= 0 else li + f))
+        elif t == "maxpool":
+            out.append(("maxpool", int(s["size"]), int(s.get("stride", s["size"]))))
+        elif t == "upsample":
+            out.append(("upsample", int(s.get("stride", 2))))
+        elif t == "yolo":
+            out.append(("yolo", s["mask"].replace(" ", ""),
+                        s["anchors"].replace(" ", ""), int(s["classes"]),
+                        float(s.get("scale_x_y", 1.0))))
+    return out
+
+
+def test_shipped_cfgs_parse_and_regenerate():
+    """configs/*_yolov4-csp.cfg exist, parse, and match their generator."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_cfg", os.path.join(REPO_ROOT, "scripts", "gen_yolov4_csp_cfg.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    for name, classes in (("ycbv", 21), ("lmo", 8)):
+        path = os.path.join(REPO_ROOT, "configs", f"{name}_yolov4-csp.cfg")
+        assert os.path.exists(path), path
+        secs = [dict(s) for s in load_cfg_sections(path)]
+        yolos = [s for s in secs if s["type"] == "yolo"]
+        assert len(yolos) == 3
+        assert all(int(y["classes"]) == classes for y in yolos)
+        assert open(path).read() == gen.build(classes, 640, 640)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CFG), reason="reference cfg not mounted")
+def test_shipped_ycbv_cfg_matches_reference_graph():
+    """Generated YCB-V cfg is semantically identical to the reference's."""
+    ours = _canonical_graph(os.path.join(REPO_ROOT, "configs", "ycbv_yolov4-csp.cfg"))
+    ref = _canonical_graph(REF_CFG)
+    assert len(ours) == len(ref)
+    for i, (a, b) in enumerate(zip(ref, ours)):
+        assert a == b, (i, a, b)
+
+
+def test_yolov4_default_cfg_fallback(rng):
+    """--backbone yolov4 with no --backbone_cfg uses the shipped cfg."""
+    from tests.test_model import tiny_config
+    from poet_tpu.models import build_model
+
+    cfg = tiny_config(bbox_mode="gt", num_feature_levels=3)
+    cfg.backbone.name = "yolov4"
+    cfg.backbone.cfg_path = ""
+    cfg.data.dataset = "ycbv"
+    model = build_model(cfg)
+    secs = [dict(s) for s in model.backbone.cfg_sections]
+    assert sum(1 for s in secs if s["type"] == "yolo") == 3
