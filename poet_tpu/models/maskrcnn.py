@@ -148,6 +148,11 @@ class MaskRCNNDetector(nn.Module):
     score_thresh: float = BOX_SCORE_THRESH
     nms_thresh: float = BOX_NMS_THRESH
     post_nms_top_n: int = POST_NMS_TOP_N
+    # candidates entering the final per-class NMS. torchvision suppresses the
+    # FULL P*ncls set; bounding it to a score-top-k keeps the IoU matrix small
+    # (trained detectors put real detections far inside any 4x cap). None =
+    # 4 * max_detections; parity tests pass 0 for the exact uncapped set.
+    nms_candidates: int = None
     # anchor sizes per FPN level, from the rcnn YAML `anchor_sizes` key
     # (parity: backbone_maskrcnn.py:26-33 builds the AnchorGenerator from it)
     anchor_sizes: Tuple[Tuple[int, ...], ...] = ANCHOR_SIZES
@@ -245,7 +250,8 @@ class MaskRCNNDetector(nn.Module):
                 & ((boxes_pc[:, 3] - boxes_pc[:, 1]) >= 1e-2)
             )
             # cap candidates before NMS to bound the IoU matrix
-            cand = min(4 * self.max_detections, P * ncls)
+            cap = self.nms_candidates or 4 * self.max_detections
+            cand = min(cap if cap > 0 else P * ncls, P * ncls)
             cand_scores, cand_i = jax.lax.top_k(
                 jnp.where(valid_pc, scores_pc, -jnp.inf), cand
             )

@@ -192,13 +192,14 @@ def test_multiscale_roi_align_levels(rng):
     np.testing.assert_allclose(np.asarray(out[2]), lo[0], atol=1e-5)
 
 
-def test_multiscale_roi_align_vs_torchvision(rng):
-    """Full-value oracle: torchvision.ops.MultiScaleRoIAlign on the same
-    features/boxes (reference consumes it inside roi_heads,
-    /root/reference/models/backbone_maskrcnn.py:91)."""
-    torch = pytest.importorskip("torch")
-    torchvision = pytest.importorskip("torchvision")
-    from collections import OrderedDict
+def test_multiscale_roi_align_vs_torch_oracle(rng):
+    """Full-value oracle for the op the reference consumes inside roi_heads
+    (/root/reference/models/backbone_maskrcnn.py:91). torchvision is not
+    installable here (no egress), so the oracle is the independent torch
+    functional reimplementation of MultiScaleRoIAlign semantics from
+    tests/test_detector_numeric_parity.py (level mapper + aligned=False
+    roi_align); when torchvision IS importable it is used instead."""
+    import torch
 
     sizes = [(32, 32), (16, 16), (8, 8), (4, 4)]
     strides = [4, 8, 16, 32]
@@ -212,11 +213,30 @@ def test_multiscale_roi_align_vs_torchvision(rng):
         [jnp.asarray(f) for f in feats_np], strides, jnp.asarray(boxes_np),
         output_size=7, sampling_ratio=2))
 
-    m = torchvision.ops.MultiScaleRoIAlign(
-        ["0", "1", "2", "3"], output_size=7, sampling_ratio=2)
-    x = OrderedDict(
-        (str(i), torch.from_numpy(f).permute(2, 0, 1)[None])
-        for i, f in enumerate(feats_np))
-    ref = m(x, [torch.from_numpy(boxes_np)], [(img, img)])
+    try:
+        import torchvision
+        from collections import OrderedDict
+
+        m = torchvision.ops.MultiScaleRoIAlign(
+            ["0", "1", "2", "3"], output_size=7, sampling_ratio=2)
+        x = OrderedDict(
+            (str(i), torch.from_numpy(f).permute(2, 0, 1)[None])
+            for i, f in enumerate(feats_np))
+        ref = m(x, [torch.from_numpy(boxes_np)], [(img, img)])
+    except ImportError:
+        from tests.test_detector_numeric_parity import t_roi_align_level
+
+        tboxes = torch.from_numpy(boxes_np)
+        w = (tboxes[:, 2] - tboxes[:, 0]).clamp(min=0)
+        h = (tboxes[:, 3] - tboxes[:, 1]).clamp(min=0)
+        lvl = torch.floor(4 + torch.log2(torch.sqrt(w * h) / 224 + 1e-6))
+        lvl = lvl.clamp(2, 5).long() - 2
+        ref = torch.zeros(len(boxes_np), 4, 7, 7)
+        for li in range(4):
+            sel = torch.where(lvl == li)[0]
+            if len(sel):
+                ref[sel] = t_roi_align_level(
+                    torch.from_numpy(feats_np[li]).permute(2, 0, 1),
+                    tboxes[sel], 1.0 / strides[li])
     ref = ref.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-4)
