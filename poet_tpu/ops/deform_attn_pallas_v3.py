@@ -175,10 +175,13 @@ def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
     vT_refs = rest[:-1]
     out_ref = rest[-1]
     Qt = out_ref.shape[-1]
-    # bf16 path: run the y-mix multiply/reduce — the kernel's measured VPU
-    # floor — in packed bf16 (16 sublanes/vreg, half the vector ops of f32).
+    # bf16 path (opt-in POET_V3_YMIX_BF16=1): run the y-mix multiply/reduce
+    # in packed bf16 (16 sublanes/vreg, half the vector ops of f32).
     # Numerically safe: the y-operator has exactly two nonzero rows per
     # query, so the bf16 "accumulation" over Hl adds two products and zeros.
+    # MEASURED SLOWER on v5e (bench.py A/B 2026-08-19: 533 vs 597 img/s with
+    # f32 y-mix) — the pack/unpack converts outweigh the vop halving at these
+    # tile shapes, so f32 is the default. Kept as a documented experiment.
     g_dtype = jnp.bfloat16 if ymix_bf16 else _F32
 
     def head_body(h, _):
@@ -249,7 +252,7 @@ def ms_deform_attn_pallas_v3(
         for Hl, Wl in spatial_shapes
     ]
     ymix_bf16 = (value.dtype == jnp.bfloat16
-                 and os.environ.get("POET_V3_YMIX_BF16", "1") != "0")
+                 and os.environ.get("POET_V3_YMIX_BF16", "0") == "1")
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
                           H=Hg, D=D, dtype=value.dtype,
@@ -399,7 +402,7 @@ def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
         (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
         memory_space=pltpu.VMEM)
     ymix_bf16 = (dtype == jnp.bfloat16
-                 and os.environ.get("POET_V3_YMIX_BF16", "1") != "0")
+                 and os.environ.get("POET_V3_YMIX_BF16", "0") == "1")
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spatial_shapes=spatial_shapes,
                           H=Hg, D=D, dtype=dtype, n_qt=n_qt,
