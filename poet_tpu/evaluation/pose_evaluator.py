@@ -85,12 +85,21 @@ def _pad_cloud(pts: np.ndarray) -> np.ndarray:
 
 
 def _transform_clouds(pts, pp, pg):
+    """Transformed (gt, est) clouds, CENTERED on the gt translation.
+
+    Subtracting t_gt from both clouds leaves every pairwise distance
+    unchanged but shrinks coordinate magnitudes from |t|~0.5-1.5 m (camera
+    frame) to the model radius ~0.1 m — without it, the f32 expansion
+    |g|² + |e|² - 2g·e loses ~(|t|/r)² of its precision to cancellation
+    (measured up to 0.17 mm pose error at |t|=0.5, 15k pts; the AUC grid
+    step is 0.1 mm — tests/test_evaluator_bop_scale.py pins the budget).
+    """
     import jax.numpy as jnp
 
     R_p, t_p = pp[:, :, :3], pp[:, :, 3]
     R_g, t_g = pg[:, :, :3], pg[:, :, 3]
-    est = jnp.einsum("pij,nj->pni", R_p, pts) + t_p[:, None, :]
-    gt = jnp.einsum("pij,nj->pni", R_g, pts) + t_g[:, None, :]
+    est = jnp.einsum("pij,nj->pni", R_p, pts) + (t_p - t_g)[:, None, :]
+    gt = jnp.einsum("pij,nj->pni", R_g, pts)
     return gt, est
 
 

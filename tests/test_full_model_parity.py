@@ -346,3 +346,192 @@ def test_full_forward_matches_reference(parity_setup, class_mode):
             np.asarray(out["translations"][lvl]),
             aux["pred_translation"].numpy(), atol=2e-4, rtol=1e-3,
             err_msg=f"aux layer {lvl}")
+
+
+def test_zoo_pth_resume_roundtrip_at_scale(parity_setup, tmp_path):
+    """VERDICT r1 item 7: the REAL reference model's state_dict, saved as a
+    zoo-format .pth file, round-trips through the --resume dispatcher
+    (load_resume -> load_state_dict_file -> assemble_poet_params) into a full
+    forward that matches the torch model. At paper_dims this is a paper-scale
+    checkpoint import: 5 enc / 5 dec / hidden 256 / 16 heads, the exact zoo
+    geometry (/root/reference/README.md:109-111)."""
+    import torch
+
+    from poet_tpu.config import PoETConfig
+    from poet_tpu.engine.checkpoint import load_resume, merge_params
+    from poet_tpu.models.poet import PoET as OurPoET
+
+    build_ref, images, boxes, labels, n_boxes = parity_setup
+    ref_model = build_ref("agnostic")
+
+    # zoo payload shape: {"model": state_dict, "epoch": N, "args": ...}
+    # (main.py:288-298 reads obj["model"]); DDP "module." prefixes included
+    sd = ref_model.state_dict()
+    ckpt = tmp_path / "poet_zoo_scale.pth"
+    torch.save(
+        {"model": {f"module.{k}": v for k, v in sd.items()}, "epoch": 49},
+        ckpt,
+    )
+
+    payload, start_epoch = load_resume(str(ckpt), enc_layers=ENC,
+                                       dec_layers=DEC, nheads=HEADS)
+    assert start_epoch == 0  # zoo files restore params only
+
+    cfg = PoETConfig()
+    m = cfg.model
+    m.hidden_dim, m.nheads, m.enc_layers, m.dec_layers = HID, HEADS, ENC, DEC
+    m.dim_feedforward, m.num_queries, m.n_classes = FFN, Q, NCLS
+    m.dropout = 0.0
+    m.class_mode = "agnostic"  # matches build_ref above (config default: specific)
+    our_model = OurPoET(backbone=_JaxFakeBackbone(), cfg=m)
+
+    j_images = jnp.asarray(images)
+    j_mask = jnp.zeros((B, IMG_H, IMG_W), bool)
+    pad_boxes, pad_labels = boxes.copy(), labels.copy()
+    for b in range(B):
+        pad_boxes[b, n_boxes[b]:] = -1.0
+        pad_labels[b, n_boxes[b]:] = -1
+    targets = {
+        "boxes": jnp.asarray(pad_boxes),
+        "labels": jnp.asarray(pad_labels),
+        "n_boxes": jnp.asarray(n_boxes),
+    }
+    template = our_model.init(jax.random.PRNGKey(0), j_images, j_mask, targets)
+    merged, missing, unexpected = merge_params(template, payload["params"])
+    assert unexpected == ["params.transformer.reference_points"], unexpected
+    assert missing == [], missing
+
+    out = our_model.apply(merged, j_images, j_mask, targets, deterministic=True)
+
+    t_images = torch.from_numpy(images).permute(0, 3, 1, 2).contiguous()
+    samples = sys.modules["util.misc"].NestedTensor(
+        t_images, torch.zeros(B, IMG_H, IMG_W, dtype=torch.bool))
+    t_targets = [
+        {"boxes": torch.from_numpy(boxes[b, : n_boxes[b]]),
+         "labels": torch.from_numpy(labels[b, : n_boxes[b]].astype(np.int64))}
+        for b in range(B)
+    ]
+    with torch.no_grad():
+        ref_out, _ = ref_model(samples, t_targets)
+    np.testing.assert_allclose(
+        np.asarray(out["translations"][-1]),
+        ref_out["pred_translation"].numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["rotations"][-1]),
+        ref_out["pred_rotation"].numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_image_to_pose_with_real_conv_backbone(tmp_path):
+    """IMAGE-in -> pose-out parity with the REAL convolutional backbone on
+    both sides (VERDICT r1 item 3, second half): the torch side runs the
+    reference PoET around the independent functional ResNet-50-FPN oracle
+    (tests/test_detector_numeric_parity.py); our side runs the production
+    MaskRCNNFeatureBackbone. Both share one torchvision-named weight set, so
+    the entire image -> features -> transformer -> pose path is compared
+    weight-for-weight, with no feature injection."""
+    import torch
+    from torch import nn
+
+    from tests.test_detector_numeric_parity import _rcnn_state_dict, t_resnet_fpn
+
+    pet, dt, pe, NestedTensor = _load_reference_poet()
+    hid, heads, enc, dec, ffn, q, ncls = 64, 4, 2, 2, 128, 5, 4
+    ih, iw, b = 128, 160, 2
+    rng = np.random.default_rng(3)
+    rcnn_sd = _rcnn_state_dict()
+
+    class OracleJoiner(nn.Sequential):
+        def __init__(self):
+            pos = pe.PositionEmbeddingSine(hid // 2, normalize=True)
+            super().__init__(nn.Identity(), pos)
+            self.strides = [16, 32, 64]
+            self.num_channels = [256, 256, 256]
+
+        def forward(self, samples):
+            with torch.no_grad():
+                fd = t_resnet_fpn(rcnn_sd, samples.tensors)
+            feats, pos = [], []
+            for k in ["2", "3", "pool"]:
+                t = fd[k]
+                m = torch.zeros(t.shape[0], t.shape[2], t.shape[3],
+                                dtype=torch.bool)
+                nt = NestedTensor(t, m)
+                feats.append(nt)
+                pos.append(self[1](nt).to(t.dtype))
+            return feats, pos, None
+
+    transformer = dt.DeformableTransformer(
+        d_model=hid, nhead=heads, num_encoder_layers=enc,
+        num_decoder_layers=dec, dim_feedforward=ffn, dropout=0.0,
+        activation="relu", return_intermediate_dec=True,
+        num_feature_levels=4, dec_n_points=4, enc_n_points=4)
+    ref_model = pet.PoET(
+        OracleJoiner(), transformer, num_queries=q, num_feature_levels=4,
+        n_classes=ncls, bbox_mode="gt", ref_points_mode="bbox",
+        query_embedding_mode="bbox", rotation_mode="6d",
+        class_mode="agnostic", aleatoric=False, aux_loss=True,
+        backbone_type="maskrcnn")
+    ref_model.eval()
+
+    images = rng.uniform(size=(b, ih, iw, 3)).astype(np.float32)
+    n_boxes = np.array([3, q], dtype=np.int32)
+    boxes = rng.uniform(0.2, 0.6, size=(b, q, 4)).astype(np.float32)
+    boxes[..., 2:] = rng.uniform(0.05, 0.3, size=(b, q, 2))
+    labels = rng.integers(1, ncls + 1, size=(b, q)).astype(np.int32)
+
+    t_images = torch.from_numpy(images).permute(0, 3, 1, 2).contiguous()
+    samples = sys.modules["util.misc"].NestedTensor(
+        t_images, torch.zeros(b, ih, iw, dtype=torch.bool))
+    t_targets = [
+        {"boxes": torch.from_numpy(boxes[i, : n_boxes[i]]),
+         "labels": torch.from_numpy(labels[i, : n_boxes[i]].astype(np.int64))}
+        for i in range(b)
+    ]
+    with torch.no_grad():
+        ref_out, _ = ref_model(samples, t_targets)
+
+    # ---- ours: full production model (real ResNetFPN feature backbone) ----
+    from poet_tpu.engine.checkpoint import merge_params
+    from poet_tpu.models import build_model
+    from poet_tpu.utils.torch_import import (
+        convert_poet_checkpoint,
+        convert_resnet_fpn,
+    )
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config(class_mode="agnostic")
+    model = build_model(cfg)
+    j_images = jnp.asarray(images)
+    j_mask = jnp.zeros((b, ih, iw), bool)
+    pad_boxes, pad_labels = boxes.copy(), labels.copy()
+    for i in range(b):
+        pad_boxes[i, n_boxes[i]:] = -1.0
+        pad_labels[i, n_boxes[i]:] = -1
+    targets = {"boxes": jnp.asarray(pad_boxes),
+               "labels": jnp.asarray(pad_labels),
+               "n_boxes": jnp.asarray(n_boxes)}
+    template = model.init(jax.random.PRNGKey(0), j_images, j_mask, targets)
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    tree = convert_poet_checkpoint(sd, enc, dec, heads)
+    tree["backbone"] = {"fpn_body": convert_resnet_fpn(rcnn_sd)}
+    merged, missing, unexpected = merge_params(template, {"params": tree})
+    assert missing == [], missing
+    # expected extras: the torch-side unconditional reference_points Linear,
+    # and the FPN inner/layer convs for the stride-4/8 levels our
+    # feature-only backbone never computes (FPN.levels pruning)
+    allowed = {"params.transformer.reference_points"} | {
+        f"params.backbone.fpn_body.fpn.{kind}_{i}" for kind in ("inner", "layer")
+        for i in (0, 1)
+    }
+    assert set(unexpected) <= allowed, unexpected
+
+    out = model.apply(merged, j_images, j_mask, targets, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out["translations"][-1]),
+        ref_out["pred_translation"].numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["rotations"][-1]),
+        ref_out["pred_rotation"].numpy(), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), ref_out["pred_boxes"].numpy(), atol=1e-6)
