@@ -5,28 +5,82 @@ Primary metric (BASELINE.md): YCB-V-shaped inference throughput, batch 16,
 images/sec on one chip. vs_baseline compares against the reference's only
 published figure: 50 FPS TensorRT on Jetson AGX Orin
 (/root/reference/README.md:35).
+
+The same JSON line carries an "extra" object with the secondary BASELINE.md
+configs (VERDICT r1 items 2 & 6):
+  * maskrcnn_detect_pose_img_s — bs=16 DETECTOR-IN-THE-LOOP throughput
+    (bbox_mode='backbone': ResNet-50-FPN + RPN + RoI heads + PoET, the
+    reference's deployed mode, /root/reference/main.py:407),
+  * yolov4_detect_pose_img_s  — bs=16 YOLOv4-CSP detect+pose,
+  * bs1_latency_ms            — gt-mode single-image device latency,
+  * train_step_img_s          — bs=16 full train step (fwd+match+loss+bwd+opt).
+Set POET_BENCH_EXTRA=0 to skip the extras (primary metric only).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+YOLO_CFG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "configs", "ycbv_yolov4-csp.cfg")
 
-def main():
+
+def _marginal_loop(make_loop, n=5, reps=4):
+    """Device time per iteration: marginal between N and 2N chained in-jit
+    iterations with a forced host read (cancels the ~1.3 s relay round-trip;
+    identical repeated dispatches can be cache-served by the relay, hence the
+    salt). Validated against a known-FLOPs matmul chain (85 TF/s f32 v5e).
+    min over `reps` timings per arm: the relay adds ±6% one-sided latency
+    noise, and min is the right estimator for one-sided noise."""
+    loop_n, loop_2n = make_loop(n), make_loop(2 * n)
+    loop_n(0.0)        # compile
+    loop_2n(0.0)       # compile
+
+    def timed(fn, salt):
+        t0 = time.perf_counter()
+        fn(salt)
+        return time.perf_counter() - t0
+
+    t_n = min(timed(loop_n, (k + 1) * 1e-6) for k in range(reps))
+    t_2n = min(timed(loop_2n, (k + 1 + reps) * 1e-6) for k in range(reps))
+    return max(t_2n - t_n, 1e-9) / n
+
+
+def _forward_rate(model, params, images, pad_mask, targets, n=5):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    def make_loop(n_iters):
+        @jax.jit
+        def loop(params, images, salt):
+            def body(i, carry):
+                img = images * (1.0 + 1e-7 * carry) + salt
+                out = model.apply(params, img, pad_mask, targets,
+                                  deterministic=True)
+                return jnp.mean(out["translations"].astype(jnp.float32))
+
+            return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        return lambda s: float(loop(params, images, jnp.float32(s)))
+
+    dt = _marginal_loop(make_loop, n=n)
+    return images.shape[0] / dt, dt
+
+
+def bench_primary():
+    """gt-bbox flagship, bs=16, fused Pallas sampling kernel, bf16 compute."""
+    import jax
+
     from __graft_entry__ import _flagship_setup
 
     cfg, model, images, pad_mask, targets = _flagship_setup(B=16, H=480, W=640)
-    # single-chip inference flagship runs the fused Pallas sampling kernel
-    # (ops/deform_attn_pallas_v3.py): measured 623 vs 410 img/s with 'sep'.
-    # The config default 'auto' resolves to 'fused' on TPU anyway; pinned
-    # here so the benchmarked path never depends on backend detection.
+    # pin the fused kernel so the benchmarked path never depends on backend
+    # detection (config default 'auto' resolves to 'fused' on TPU anyway)
     cfg.model.enc_deform_impl = "fused"
     from poet_tpu.models import build_model
 
@@ -37,52 +91,138 @@ def main():
     from poet_tpu.utils.params import cast_params_for_inference
 
     params = cast_params_for_inference(params)
+    rate, _ = _forward_rate(model, params, images, pad_mask, targets)
+    return rate
 
-    # Timing methodology (calibrated for the axon relay, where
-    # block_until_ready returns early and identical requests can be served
-    # from cache): chain N data-dependent model invocations inside ONE jit,
-    # force a HOST READ of the scalar result, and take the MARGINAL time
-    # between N and 2N iterations — this cancels the ~1.3 s constant relay
-    # round-trip and measures pure device time. Validated against a
-    # known-FLOPs matmul chain (measured 85 TF/s f32 on v5e — sane).
-    def bench_loop_fn(n_iters):
+
+def bench_maskrcnn_detect_pose(B=16):
+    """Detector-in-the-loop: full Mask R-CNN (RPN + RoI heads) + PoET.
+
+    The reference's deployable mode forces bbox_mode='backbone'
+    (/root/reference/main.py:407); its 50 FPS Jetson figure is a full
+    detect+pose pipeline, so THIS is the apples-to-apples config."""
+    import jax
+
+    from poet_tpu.config import PoETConfig
+    from poet_tpu.models import build_model
+    from poet_tpu.utils.params import cast_params_for_inference
+
+    cfg = PoETConfig()
+    cfg.backbone.name = "maskrcnn"
+    cfg.model.dtype = "bfloat16"
+    cfg.model.bbox_mode = "backbone"
+    cfg.model.enc_deform_impl = "fused"
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    images = jnp.asarray(rng.uniform(size=(B, 480, 640, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((B, 480, 640), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
+    params = cast_params_for_inference(params)
+    rate, _ = _forward_rate(model, params, images, pad_mask, None)
+    return rate
+
+
+def bench_yolov4_detect_pose(B=16):
+    if not os.path.exists(YOLO_CFG):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from poet_tpu.config import PoETConfig
+    from poet_tpu.models import build_model
+    from poet_tpu.utils.params import cast_params_for_inference
+
+    cfg = PoETConfig()
+    cfg.model.dtype = "bfloat16"
+    cfg.backbone.name = "yolov4"
+    cfg.backbone.cfg_path = YOLO_CFG
+    cfg.backbone.max_detections = 20
+    # TPU-first trimmed-encoder option: PoET consumes strides >= 16 (same
+    # levels the rcnn path feeds it); detections keep all scales
+    cfg.backbone.encoder_min_stride = 16
+    cfg.model.bbox_mode = "backbone"
+    cfg.model.n_classes = 21
+    cfg.model.enc_deform_impl = "fused"
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(B, 480, 640, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((B, 480, 640), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
+    params = cast_params_for_inference(params)
+    rate, _ = _forward_rate(model, params, images, pad_mask, None)
+    return rate
+
+
+def bench_bs1_latency_ms():
+    import jax
+
+    from __graft_entry__ import _flagship_setup
+
+    cfg, model, images, pad_mask, targets = _flagship_setup(B=1, H=480, W=640)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
+    _, dt = _forward_rate(model, params, images, pad_mask, targets)
+    return dt * 1e3
+
+
+def bench_train_step_img_s(B=16):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from __graft_entry__ import _flagship_setup
+    from poet_tpu.engine.train import TrainState, make_optimizer, make_train_step
+
+    cfg, model, images, pad_mask, targets = _flagship_setup(B=B, H=480, W=640)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg, params, steps_per_epoch=100)
+    state0 = TrainState(params=params, opt_state=tx.init(params),
+                        step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, cfg, tx, donate=False)
+    rng = jax.random.PRNGKey(0)
+
+    def make_loop(n_iters):
         @jax.jit
-        def bench_loop(params, images, pad_mask, targets, salt):
-            def body(i, carry):
-                img = images * (1.0 + 1e-7 * carry) + salt
-                out = model.apply(params, img, pad_mask, targets, deterministic=True)
-                return jnp.mean(out["translations"])
+        def loop(state, images, salt):
+            def body(i, st):
+                st2, _ = step_fn(st, images * (1 + salt), pad_mask, targets, rng)
+                return st2
 
-            return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+            final = lax.fori_loop(0, n_iters, body, state)
+            # force the full update chain (returning .step alone would DCE it)
+            return final.params["params"]["transformer"]["level_embed"].mean()
 
-        return bench_loop
+        return lambda s: float(loop(state0, images, jnp.float32(s)))
 
-    n = 5
-    loop_n = bench_loop_fn(n)
-    loop_2n = bench_loop_fn(2 * n)
-    float(loop_n(params, images, pad_mask, targets, jnp.float32(0.0)))    # compile n
-    float(loop_2n(params, images, pad_mask, targets, jnp.float32(0.0)))   # compile 2n
+    dt = _marginal_loop(make_loop, n=3)
+    return B / dt
 
-    def timed(fn, salt):
-        t0 = time.perf_counter()
-        float(fn(params, images, pad_mask, targets, jnp.float32(salt)))
-        return time.perf_counter() - t0
 
-    t_n = min(timed(loop_n, 1e-6), timed(loop_n, 2e-6))
-    t_2n = min(timed(loop_2n, 3e-6), timed(loop_2n, 4e-6))
-    dt = max(t_2n - t_n, 1e-9) / n
-    images_per_sec = images.shape[0] / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "ycbv_inference_images_per_sec_per_chip_bs16",
-                "value": round(images_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / 50.0, 3),
-            }
-        )
-    )
+def main():
+    primary = bench_primary()
+    result = {
+        "metric": "ycbv_inference_images_per_sec_per_chip_bs16",
+        "value": round(primary, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(primary / 50.0, 3),
+    }
+    if os.environ.get("POET_BENCH_EXTRA", "1") != "0":
+        extra = {}
+        for key, fn in (
+            ("maskrcnn_detect_pose_img_s", bench_maskrcnn_detect_pose),
+            ("yolov4_detect_pose_img_s", bench_yolov4_detect_pose),
+            ("bs1_latency_ms", bench_bs1_latency_ms),
+            ("train_step_img_s", bench_train_step_img_s),
+        ):
+            try:
+                v = fn()
+                if v is not None:
+                    extra[key] = round(v, 2)
+            except Exception as e:  # never let a secondary kill the primary
+                extra[key] = f"error: {type(e).__name__}: {e}"[:200]
+        result["extra"] = extra
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -366,8 +366,193 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
         head_body(h, 0)
 
 
+def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
+                     spatial_shapes, H, D, dtype):
+    """Two-kernel adjoint, kernel 1 — d_value per level.
+
+    dvT[(y,d), x] = Σ_{q,p} ay[p, y, q] * dout[d, q] * bxT[x, q]
+    computed as an MXU dot with K = P*Qt (point-sum built into the lane
+    concat), accumulated over the q-tile grid axis. Unlike the merged
+    adjoint this kernel does NOT take vT as an input, so its per-head VMEM
+    footprint is one output block + coords — head groups stay large.
+    """
+    q_idx = pl.program_id(2)
+
+    for h in range(H):
+        do = do_ref[0, h]                                # (D, Qt) f32
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+            x = xb_ref[0, lvl, h]
+            y = yb_ref[0, lvl, h]
+            a = ab_ref[0, lvl, h]
+            P = x.shape[0]
+            Qt = x.shape[1]
+            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+                               Hl, Wl, Qt) for p in range(P)]
+            dg_all = jnp.concatenate(
+                [(o[2][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
+                 for o in ops], axis=1)                  # (Hl*D, P*Qt)
+            bxT_all = jnp.concatenate([o[0] for o in ops], axis=1)
+            acc = _dot(dg_all.astype(dtype), bxT_all.astype(dtype),
+                       (((1,), (1,)), ((), ())), dtype)  # (Hl*D, Wl)
+
+            @pl.when(q_idx == 0)
+            def _init():
+                dv_refs[lvl][0, h] = acc
+
+            @pl.when(q_idx != 0)
+            def _accum():
+                dv_refs[lvl][0, h] += acc
+
+
+def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
+                     spatial_shapes, H, D, dtype):
+    """Two-kernel adjoint, kernel 2 — d_loc (pixel-space) + d_attn.
+
+    Recomputes gT (and the difference-operator variant) in VMEM:
+      E[y, q]   = Σ_d gT * dout   (VPU)
+      d_attn    = Σ_y wyT * E
+      d_ty      = a * Σ_y dwyT * E
+      d_tx      = Σ_y ay * (Σ_d dgxT * dout)  with dgxT = vT @ dbxT.
+    """
+    L = len(spatial_shapes)
+    vT_refs = rest[:L]
+    dtx_ref, dty_ref, da_ref = rest[L], rest[L + 1], rest[L + 2]
+
+    for h in range(H):
+        do = do_ref[0, h]                                # (D, Qt)
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+            x = xb_ref[0, lvl, h]
+            y = yb_ref[0, lvl, h]
+            a = ab_ref[0, lvl, h]
+            vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
+            P = x.shape[0]
+            Qt = x.shape[1]
+            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+                               Hl, Wl, Qt) for p in range(P)]
+            # one dot for all points' gT AND dgxT: lane-concat the bx and
+            # difference operators into (Wl, 2*P*Qt).
+            bx_cat = jnp.concatenate(
+                [o[0] for o in ops] + [o[1] for o in ops], axis=1)
+            g_cat = _dot(vT, bx_cat.astype(dtype),
+                         (((1,), (0,)), ((), ())), dtype)  # (Hl*D, 2*P*Qt)
+            for p in range(P):
+                _, _, ayT, wyT, dwyT = ops[p]
+                gT = g_cat[:, p * Qt : (p + 1) * Qt].reshape(Hl, D, Qt)
+                dgxT = g_cat[:, (P + p) * Qt : (P + p + 1) * Qt].reshape(
+                    Hl, D, Qt)
+                E = jnp.sum(gT * do[None, :, :], axis=1)        # (Hl, Qt)
+                Ex = jnp.sum(dgxT * do[None, :, :], axis=1)     # (Hl, Qt)
+                da_ref[0, lvl, h, p] = jnp.sum(wyT * E, axis=0)
+                dty_ref[0, lvl, h, p] = (a[p : p + 1] *
+                                         jnp.sum(dwyT * E, axis=0))[0]
+                dtx_ref[0, lvl, h, p] = jnp.sum(ayT * Ex, axis=0)
+
+
+def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
+                           dout, spatial_shapes):
+    """Adjoint as two kernels (d_value | d_loc+d_attn).
+
+    A/B vs the merged adjoint on chip (POET_V3_MERGED_ADJOINT selects):
+    the merged kernel shares the corner-operator build and g-recompute dot,
+    but must keep vT + the d_value block + an f32 scratch resident per head
+    group, shrinking Hg (see _pick_head_group call) — two lighter kernels
+    can win on occupancy despite the duplicated VPU work.
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    vT_levels, xb, yb, ab, Q_pad = _prep(
+        value, spatial_shapes, sampling_locations, attention_weights)
+    n_qt = Q_pad // _QT
+    Hg = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
+
+    do = dout.reshape(B, Q, H, D).astype(_F32).transpose(0, 2, 3, 1)
+    if Q_pad != Q:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
+
+    grid = (B, H // Hg, n_qt)
+    coord_spec = pl.BlockSpec(
+        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
+                           memory_space=pltpu.VMEM)
+    v_specs = [
+        pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for Hl, Wl in spatial_shapes
+    ]
+
+    dv_levels = pl.pallas_call(
+        functools.partial(_bwd_dval_kernel, spatial_shapes=spatial_shapes,
+                          H=Hg, D=D, dtype=dtype),
+        grid=grid,
+        in_specs=[coord_spec, coord_spec, coord_spec, do_spec],
+        out_specs=[
+            pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for Hl, Wl in spatial_shapes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Hl * D, Wl), _F32)
+            for Hl, Wl in spatial_shapes
+        ],
+    )(xb, yb, ab, do)
+
+    d_value_parts = []
+    for (Hl, Wl), dv in zip(spatial_shapes, dv_levels):
+        d_value_parts.append(
+            dv.reshape(B, H, Hl, D, Wl).transpose(0, 2, 4, 1, 3)
+            .reshape(B, Hl * Wl, H, D))
+    d_value = jnp.concatenate(d_value_parts, axis=1).astype(dtype)
+
+    grad_spec = pl.BlockSpec(
+        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        memory_space=pltpu.VMEM)
+    dtx, dty, da = pl.pallas_call(
+        functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
+                          H=Hg, D=D, dtype=dtype),
+        grid=grid,
+        in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
+        out_specs=[grad_spec, grad_spec, grad_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, H, P, Q_pad), _F32)
+            for _ in range(3)
+        ],
+    )(xb, yb, ab, do, *vT_levels)
+
+    def back(t):
+        return t.transpose(0, 4, 2, 1, 3)[:, :Q]
+    dtx_b, dty_b = back(dtx), back(dty)
+    d_loc = jnp.stack(
+        [jnp.stack([dtx_b[..., lvl, :] * float(w)
+                    for lvl, (_, w) in enumerate(spatial_shapes)], axis=3),
+         jnp.stack([dty_b[..., lvl, :] * float(h)
+                    for lvl, (h, _) in enumerate(spatial_shapes)], axis=3)],
+        axis=-1)
+    d_attn = back(da)
+    return (d_value,
+            d_loc.astype(sampling_locations.dtype),
+            d_attn.astype(attention_weights.dtype))
+
+
 def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
                  spatial_shapes):
+    """Adjoint dispatcher. Default: TWO-KERNEL (on-chip A/B 2026-08-19 at
+    the bs=16 paper config: 89.7 ms/step vs 104.2 ms merged — the merged
+    kernel's vT + d_value + f32-scratch residency halves its head groups,
+    costing more than the shared corner-operator work saves).
+    POET_V3_MERGED_ADJOINT=1 selects the merged single-kernel adjoint."""
+    if os.environ.get("POET_V3_MERGED_ADJOINT", "0") == "1":
+        return _v3_bwd_impl_merged(value, sampling_locations,
+                                   attention_weights, dout, spatial_shapes)
+    return _v3_bwd_impl_twokernel(value, sampling_locations,
+                                  attention_weights, dout, spatial_shapes)
+
+
+def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
+                        spatial_shapes):
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape

@@ -138,6 +138,18 @@ def report(trace_dir: str, iters: int, top: int = 20):
                 for shape, dur in agg2.most_common(top):
                     print(f"{dur / 1e9:10.2f} {scnt[shape]:7d}  {shape}")
 
+            # top individual ops by total time (full-name prefix) — shows
+            # WHICH adds/copies/converts dominate, not just the opcode bins
+            agg3 = collections.Counter()
+            cnt3 = collections.Counter()
+            for s, e, name in evs:
+                key = name[:110]
+                agg3[key] += e - s
+                cnt3[key] += 1
+            print("\ntop individual ops (inclusive, name prefix):")
+            for key, dur in agg3.most_common(top * 2):
+                print(f"{dur / 1e9:10.2f} {cnt3[key]:7d}  {key}")
+
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)

@@ -54,7 +54,11 @@ def test_v3_edge_levels(rng):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
-def test_v3_fused_gradients_match_autodiff(rng):
+@pytest.mark.parametrize("merged", ["0", "1"])
+def test_v3_fused_gradients_match_autodiff(rng, monkeypatch, merged):
+    """Both adjoint implementations (merged single kernel / two-kernel
+    d_value + d_loc split, POET_V3_MERGED_ADJOINT) against XLA autodiff."""
+    monkeypatch.setenv("POET_V3_MERGED_ADJOINT", merged)
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
 
     value, shapes, locs, w = _make_inputs(rng, B=2, Q=7, H=2, D=8,
@@ -76,7 +80,9 @@ def test_v3_fused_gradients_match_autodiff(rng):
 
 
 @pytest.mark.slow
-def test_v3_fused_gradients_multi_tile(rng):
+@pytest.mark.parametrize("merged", ["0", "1"])
+def test_v3_fused_gradients_multi_tile(rng, monkeypatch, merged):
+    monkeypatch.setenv("POET_V3_MERGED_ADJOINT", merged)
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
 
     value, shapes, locs, w = _make_inputs(rng, B=1, Q=200, H=2, D=8)

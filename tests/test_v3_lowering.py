@@ -11,20 +11,24 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.mark.parametrize("dtype,ymix", [
-    (jnp.float32, "1"),
-    (jnp.bfloat16, "1"),   # packed-bf16 y-mix/dg (default)
-    (jnp.bfloat16, "0"),   # f32 y-mix fallback
+@pytest.mark.parametrize("dtype,ymix,merged", [
+    (jnp.float32, "1", "0"),   # two-kernel adjoint (default)
+    (jnp.bfloat16, "1", "0"),  # packed-bf16 y-mix/dg
+    (jnp.bfloat16, "0", "0"),  # f32 y-mix fallback
+    (jnp.float32, "1", "1"),   # merged single-kernel adjoint
+    (jnp.bfloat16, "1", "1"),
 ])
-def test_v3_mosaic_lowering_both_dtypes(dtype, ymix, monkeypatch):
-    """Host-side Mosaic lowering of fwd + fused adjoint for the tpu platform
+def test_v3_mosaic_lowering_both_dtypes(dtype, ymix, merged, monkeypatch):
+    """Host-side Mosaic lowering of fwd + adjoint for the tpu platform
     — catches vreg/verifier errors (e.g. 'matmul acc must be 32-bit' from a
     bf16 preferred_element_type) without any device. Runs OUTSIDE interpret
-    mode on purpose. Covers both the packed-bf16 and f32 y-mix variants."""
+    mode on purpose. Covers the packed-bf16 and f32 y-mix variants and both
+    adjoint layouts (merged single kernel vs d_value|d_loc two-kernel)."""
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
     from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
 
     monkeypatch.setenv("POET_V3_YMIX_BF16", ymix)
+    monkeypatch.setenv("POET_V3_MERGED_ADJOINT", merged)
 
     shapes = ((8, 10), (4, 5))
     S = sum(h * w for h, w in shapes)
@@ -39,7 +43,9 @@ def test_v3_mosaic_lowering_both_dtypes(dtype, ymix, monkeypatch):
 
     g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
     txt = g.trace(v, l, a).lower(lowering_platforms=("tpu",)).as_text()
-    assert txt.count("tpu_custom_call") == 2  # fwd kernel + fused adjoint
+    # fwd kernel + adjoint: merged = 1 kernel, two-kernel = 2 (dval, dloc)
+    expected = 2 if merged == "1" else 3
+    assert txt.count("tpu_custom_call") == expected
 
 
 @pytest.mark.parametrize("shapes", [
@@ -67,7 +73,8 @@ def test_v3_mosaic_lowering_production_shapes(shapes):
 
     g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
     txt = g.trace(v, l, a).lower(lowering_platforms=("tpu",)).as_text()
-    assert txt.count("tpu_custom_call") == 2
+    # default two-kernel adjoint: fwd + dval + dloc
+    assert txt.count("tpu_custom_call") == 3
 
 
 def test_nn_pallas_mosaic_lowering():
