@@ -170,6 +170,30 @@ def _corner_ops(x_p, y_p, a_p, Hl, Wl, Qt):
     return bxT, dbxT, wyT * a_p, wyT, dwyT
 
 
+def _interp_ops(x_p, y_p, a_p, Hl, Wl, Qt):
+    """Interpolation operators via hat functions (forward / d_value only).
+
+    bxT[i, q] = relu(1 - |i - x_q|) is bit-identical to _corner_ops' two
+    weighted one-hot rows: for the two in-support rows, |i - x| equals tx /
+    1-tx exactly (the subtraction against a nearby integer is Sterbenz-exact
+    at feature-map magnitudes), and every other row is clamped to 0 — same
+    zero-padding semantics for out-of-map and -10-padded queries. The win is
+    VPU ops on the BIG (Wl, Qt)/(Hl, Qt) tiles: 3 per operator (sub+abs
+    fuse) vs the one-hot build's ~7 (2 compares, 2 converts, 2 muls, 1 add).
+    The d_loc/d_attn kernels keep _corner_ops: they need the one-hot
+    DIFFERENCE operators, whose comparisons price bxT at 3 extra vops anyway.
+    """
+    if os.environ.get("POET_V3_INTERP") == "onehot":   # A/B escape hatch
+        ops = _corner_ops(x_p, y_p, a_p, Hl, Wl, Qt)
+        return ops[0], ops[2]
+    # Mosaic's tpu.iota is integer-only; the converts CSE across points.
+    iota_x = lax.broadcasted_iota(jnp.int32, (Wl, Qt), 0).astype(_F32)
+    iota_y = lax.broadcasted_iota(jnp.int32, (Hl, Qt), 0).astype(_F32)
+    bxT = jnp.maximum(1.0 - jnp.abs(iota_x - x_p), 0.0)
+    ayT = a_p * jnp.maximum(1.0 - jnp.abs(iota_y - y_p), 0.0)
+    return bxT, ayT
+
+
 def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
                 ymix_bf16):
     vT_refs = rest[:-1]
@@ -192,7 +216,7 @@ def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
             a = ab_ref[0, lvl, h]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
             P = x.shape[0]
-            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+            ops = [_interp_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
                                Hl, Wl, Qt) for p in range(P)]
             # one (Hl*D, Wl) @ (Wl, P*Qt) dot for all points: the lane
             # concat is 128-aligned (Qt = 128), and N = P*Qt amortizes the
@@ -208,7 +232,7 @@ def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
                 gT = gT_all[:, p * Qt : (p + 1) * Qt]
                 part = jnp.sum(
                     gT.reshape(Hl, D, Qt)
-                    * ops[p][2].astype(g_dtype)[:, None, :], axis=0)
+                    * ops[p][1].astype(g_dtype)[:, None, :], axis=0)
                 acc = acc + part.astype(_F32)
         out_ref[0, h] = acc
         return 0
@@ -386,10 +410,10 @@ def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
             a = ab_ref[0, lvl, h]
             P = x.shape[0]
             Qt = x.shape[1]
-            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
+            ops = [_interp_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
                                Hl, Wl, Qt) for p in range(P)]
             dg_all = jnp.concatenate(
-                [(o[2][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
+                [(o[1][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
                  for o in ops], axis=1)                  # (Hl*D, P*Qt)
             bxT_all = jnp.concatenate([o[0] for o in ops], axis=1)
             acc = _dot(dg_all.astype(dtype), bxT_all.astype(dtype),
