@@ -178,6 +178,12 @@ def get_args_parser():
                             "sep_cv", "pallas"),
                    help="encoder deformable-sampling core (extension; "
                         "default = config.py enc_deform_impl)")
+    p.add_argument("--dec_deform_impl", default=None, type=str,
+                   choices=("auto", "sep", "fused", "mxu", "patch", "gather",
+                            "sep_cv", "pallas"),
+                   help="decoder cross-attention sampling core (extension; "
+                        "auto = one-hot mxu, the on-chip A/B winner at "
+                        "Q = num_queries)")
     p.add_argument("--enc_remat", default="auto", type=str,
                    choices=("auto", "on", "off"),
                    help="rematerialize encoder layers in the backward pass "
@@ -245,6 +251,8 @@ def args_to_config(args) -> PoETConfig:
     m.dtype = args.dtype
     if getattr(args, "enc_deform_impl", None):
         m.enc_deform_impl = args.enc_deform_impl
+    if getattr(args, "dec_deform_impl", None):
+        m.dec_deform_impl = args.dec_deform_impl
     m.enc_remat = getattr(args, "enc_remat", "auto")
     cfg.profile_dir = getattr(args, "profile_dir", None)
     return cfg

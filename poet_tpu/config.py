@@ -120,6 +120,13 @@ class ModelConfig:
     # 6 ms/layer vs 19 ms 'mxu' at bs=16; runs identically on every backend)
     # | 'mxu' | 'patch' | 'gather' | 'pallas' | 'sep_cv'
     enc_deform_impl: str = "auto"
+    # decoder cross-attention sampling core. 'auto' = 'mxu' (one-hot
+    # matmuls): at Q = num_queries (~10) it beat the fused Pallas kernel in
+    # the on-chip flagship A/B (27.59 vs 28.71 ms/batch, 2026-08-19) — the
+    # kernel's per-layer vT layout transposes of the full encoder memory
+    # dwarf its compute win when only one 128-lane query tile exists.
+    # Selectable for A/Bs and future geometries.
+    dec_deform_impl: str = "auto"
     # Rematerialize encoder layers in the backward pass: 'auto' | 'on' | 'off'.
     # 'auto' remats for the one-hot/XLA formulations (their autodiff residuals
     # — one-hot select predicates at Q = S tokens — were measured to want
@@ -139,6 +146,13 @@ class ModelConfig:
         if self.enc_deform_impl != "auto":
             return self.enc_deform_impl
         return "fused" if _default_backend_is_tpu() else "sep"
+
+    def resolved_dec_deform_impl(self) -> str:
+        """'auto' -> 'mxu' on every backend (won the on-chip A/B vs 'fused'
+        at Q = num_queries; see the field comment)."""
+        if self.dec_deform_impl != "auto":
+            return self.dec_deform_impl
+        return "mxu"
 
     def enc_remat_enabled(self) -> bool:
         if self.enc_remat == "auto":

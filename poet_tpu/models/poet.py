@@ -150,6 +150,7 @@ class PoET(nn.Module):
             enc_n_points=cfg.enc_n_points,
             dtype=compute_dtype,
             enc_impl=cfg.resolved_enc_deform_impl(),
+            dec_impl=cfg.resolved_dec_deform_impl(),
             remat=cfg.enc_remat_enabled(),
             name="transformer",
         )(srcs, masks, pos, query_embeds, reference_points, deterministic)

@@ -275,9 +275,12 @@ class DeformableTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # Sampling-core implementation for the ENCODER's deformable self-attention
     # (the hot path, Q = S tokens): 'mxu' | 'patch' | 'gather' | 'pallas'.
-    # The decoder cross-attention always uses 'mxu' — at Q = num_queries (~10)
-    # its one-hot construction is trivially cheap and measured fastest.
     enc_impl: str = "mxu"
+    # Sampling core for the decoder's cross-attention (Q = num_queries ~10).
+    # 'mxu' (one-hot matmuls) won the on-chip A/B vs the fused Pallas kernel
+    # (27.59 vs 28.71 ms/batch flagship): at one query tile the kernel's
+    # per-layer vT transposes of the full memory outweigh its compute win.
+    dec_impl: str = "mxu"
     # Rematerialize ENCODER layers in the backward pass. Without this, the
     # backward residuals of the sampling core (Q = S tokens per layer) blow
     # HBM: a bs=16 training step was measured needing 64 GB. With remat the
@@ -364,7 +367,8 @@ class DeformableTransformer(nn.Module):
             ref_input = ref[:, :, None, :] * valid_ratios[:, None, :, :]
             output = dec_layer_cls(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
-                self.dec_n_points, self.dropout, self.dtype, name=f"decoder_layer_{i}",
+                self.dec_n_points, self.dropout, self.dtype, self.dec_impl,
+                name=f"decoder_layer_{i}",
             )(output, qe, ref_input, memory, spatial_shapes, mask_flat, deterministic)
             intermediates.append(output)
 
