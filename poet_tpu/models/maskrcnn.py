@@ -249,8 +249,14 @@ class MaskRCNNDetector(nn.Module):
                 & ((boxes_pc[:, 2] - boxes_pc[:, 0]) >= 1e-2)   # remove_small 0.01
                 & ((boxes_pc[:, 3] - boxes_pc[:, 1]) >= 1e-2)
             )
-            # cap candidates before NMS to bound the IoU matrix
-            cap = self.nms_candidates or 4 * self.max_detections
+            # cap candidates before NMS to bound the IoU matrix. 0 is the
+            # documented "exact uncapped" sentinel — it must not fall through
+            # `or` to the default cap (ADVICE r2: the parity test passes
+            # nms_candidates=0 and expects the full P*ncls candidate set).
+            if self.nms_candidates is None:
+                cap = 4 * self.max_detections
+            else:
+                cap = self.nms_candidates
             cand = min(cap if cap > 0 else P * ncls, P * ncls)
             cand_scores, cand_i = jax.lax.top_k(
                 jnp.where(valid_pc, scores_pc, -jnp.inf), cand

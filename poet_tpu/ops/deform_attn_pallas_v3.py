@@ -490,31 +490,39 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     vT_levels, xb, yb, ab, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
-    Hg = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
 
     do = dout.reshape(B, Q, H, D).astype(_F32).transpose(0, 2, 3, 1)
     if Q_pad != Q:
         do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
 
-    grid = (B, H // Hg, n_qt)
-    coord_spec = pl.BlockSpec(
-        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
-        memory_space=pltpu.VMEM)
-    do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
-                           memory_space=pltpu.VMEM)
-    v_specs = [
-        pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for Hl, Wl in spatial_shapes
-    ]
+    # The two kernels keep DIFFERENT value-shaped buffers resident and are
+    # budgeted separately (ADVICE r2): d_value holds only its f32 output
+    # block (4 bytes/elem regardless of the value dtype — sizing it with a
+    # bf16 itemsize oversubscribed scoped VMEM at YOLO-scale geometries);
+    # d_loc holds only vT (itemsize).
+    def mk_specs(Hg):
+        grid = (B, H // Hg, n_qt)
+        coord_spec = pl.BlockSpec(
+            (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+            memory_space=pltpu.VMEM)
+        do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
+                               memory_space=pltpu.VMEM)
+        v_specs = [
+            pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for Hl, Wl in spatial_shapes
+        ]
+        return grid, coord_spec, do_spec, v_specs
 
+    Hg_v = _pick_head_group(H, D, spatial_shapes, 4)
+    grid, coord_spec, do_spec, _ = mk_specs(Hg_v)
     dv_levels = pl.pallas_call(
         functools.partial(_bwd_dval_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=dtype),
+                          H=Hg_v, D=D, dtype=dtype),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, do_spec],
         out_specs=[
-            pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
+            pl.BlockSpec((1, Hg_v, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
                          memory_space=pltpu.VMEM)
             for Hl, Wl in spatial_shapes
         ],
@@ -531,12 +539,14 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
             .reshape(B, Hl * Wl, H, D))
     d_value = jnp.concatenate(d_value_parts, axis=1).astype(dtype)
 
+    Hg_l = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
+    grid, coord_spec, do_spec, v_specs = mk_specs(Hg_l)
     grad_spec = pl.BlockSpec(
-        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        (1, L, Hg_l, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
         memory_space=pltpu.VMEM)
     dtx, dty, da = pl.pallas_call(
         functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=dtype),
+                          H=Hg_l, D=D, dtype=dtype),
         grid=grid,
         in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
         out_specs=[grad_spec, grad_spec, grad_spec],

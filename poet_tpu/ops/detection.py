@@ -12,6 +12,7 @@ Oracles: torchvision.ops.nms / roi_align semantics (tested on CPU torch).
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -37,15 +38,87 @@ def nms_padded(
     iou_threshold: float,
     max_outputs: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS with static shapes.
+    """NMS with static shapes, exact torchvision.ops.nms semantics.
 
-    Matches torchvision.ops.nms ordering (descending score, strictly-greater
-    IoU suppression). Returns (keep_idx (max_outputs,) int32, keep_valid
-    (max_outputs,) bool); invalid slots hold index 0.
+    Returns (keep_idx (max_outputs,) int32, keep_valid (max_outputs,) bool);
+    keep order is descending score (ties: ascending original index, matching
+    torchvision's stable sort); invalid slots hold index 0.
 
-    Implementation: one IoU matrix + a fori_loop of max_outputs greedy picks,
-    each step masking the suppressed set — O(max_outputs * N) VPU work, no
-    data-dependent shapes.
+    Default implementation is the parallel FIXED-POINT suppression
+    (`nms_fixed_point`), which produces the identical keep set in
+    O(longest-suppression-chain) batched steps. `POET_NMS_GREEDY=1` selects
+    the sequential greedy reference (`nms_greedy`) for A/Bs; the two agree
+    bit-for-bit (tested).
+    """
+    if os.environ.get("POET_NMS_GREEDY", "0") == "1":
+        return nms_greedy(boxes, scores, iou_threshold, max_outputs)
+    return nms_fixed_point(boxes, scores, iou_threshold, max_outputs)
+
+
+def nms_fixed_point(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy-NMS keep set via parallel fixed-point iteration.
+
+    Sort candidates by descending score (stable). Greedy keeps j iff no
+    higher-ranked kept i suppresses it: k_j = valid_j AND NOT any_{i<j}
+    (k_i AND iou_ij > thr). That recurrence is the unique fixed point of
+    the monotone-free map f(k)_j = valid_j AND NOT any_i(sup_ij AND k_i)
+    restricted to the strict upper triangle, and Jacobi iteration from
+    k = valid converges to it in at most `depth` steps where depth is the
+    longest suppression chain (each sorted position stabilizes one step
+    after all its predecessors; trivially <= N, typically ~5-15). Replaces
+    the reference-shaped sequential greedy loop (1000 tiny device steps per
+    image per level — the profiled "NMS step storm" of the r2 detect+pose
+    benchmark) with a handful of batched VPU matvec steps.
+    """
+    N = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(-scores)                    # stable: ties index-asc
+    b = boxes[order]
+    s = scores[order]
+    valid = s > neg_inf
+    iou = pairwise_iou_xyxy(b, b)
+    idx = jnp.arange(N)
+    sup = (idx[:, None] < idx[None, :]) & (iou > iou_threshold)
+
+    def body(carry):
+        k, _, t = carry
+        k_new = valid & ~jnp.any(sup & k[:, None], axis=0)
+        return k_new, jnp.any(k_new != k), t + 1
+
+    def cond(carry):
+        _, changed, t = carry
+        return changed & (t < N)
+
+    k, _, _ = lax.while_loop(cond, body, (valid, jnp.bool_(True), jnp.int32(0)))
+
+    kept_scores = jnp.where(k, s, -jnp.inf)
+    k_take = min(max_outputs, N)
+    top_s, top_i = lax.top_k(kept_scores, k_take)
+    keep_valid = top_s > -jnp.inf
+    keep_idx = jnp.where(keep_valid, order[top_i], 0).astype(jnp.int32)
+    if k_take < max_outputs:
+        pad = max_outputs - k_take
+        keep_idx = jnp.pad(keep_idx, (0, pad))
+        keep_valid = jnp.pad(keep_valid, (0, pad))
+    return keep_idx, keep_valid
+
+
+def nms_greedy(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequential greedy NMS (the literal torchvision recurrence).
+
+    One IoU matrix + a fori_loop of max_outputs greedy picks, each step
+    masking the suppressed set — O(max_outputs) sequential device steps.
+    Kept as the cross-check oracle for `nms_fixed_point`.
     """
     N = boxes.shape[0]
     iou = pairwise_iou_xyxy(boxes, boxes)                     # (N, N)
@@ -176,6 +249,18 @@ def multiscale_roi_align(
     R = boxes.shape[0]
     C = features[0].shape[-1]
     L = len(features)
+    # Degenerate-geometry guards (ADVICE r2): a 1-pixel level would make the
+    # corner clip below produce -1 (clip with min>max returns max) and the
+    # negative flat index would silently wrap into another level's rows; and
+    # R == 0 would make the chunking below divide by zero at trace time.
+    if R == 0:
+        return jnp.zeros((0, output_size, output_size, C), features[0].dtype)
+    for li, f in enumerate(features):
+        if min(f.shape[0], f.shape[1]) < 2:
+            raise ValueError(
+                f"multiscale_roi_align: level {li} is {f.shape[0]}x{f.shape[1]};"
+                " every pyramid level needs H >= 2 and W >= 2 for bilinear"
+                " corner gathers")
     w = jnp.clip(boxes[:, 2] - boxes[:, 0], 0)
     h = jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
     scale = jnp.sqrt(w * h)
