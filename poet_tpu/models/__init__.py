@@ -92,4 +92,9 @@ def build_model(cfg: PoETConfig) -> PoET:
         )
     else:
         raise NotImplementedError(f"backbone {cfg.backbone.name!r}")
-    return PoET(backbone=backbone, cfg=cfg.model)
+    return PoET(
+        backbone=backbone,
+        cfg=cfg.model,
+        position_embedding=cfg.backbone.position_embedding,
+        position_embedding_scale=cfg.backbone.position_embedding_scale,
+    )

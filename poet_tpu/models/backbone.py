@@ -9,6 +9,7 @@ equivalent of requires_grad_(False).
 
 from __future__ import annotations
 
+import math as _math
 from typing import List, Optional, Tuple
 
 import jax
@@ -48,13 +49,16 @@ class MaskRCNNDetectorBackbone(nn.Module):
         det_kwargs = {}
         if self.anchor_sizes is not None:
             det_kwargs["anchor_sizes"] = self.anchor_sizes
-        # box decode / score / NMS arithmetic stays f32 for ranking stability
+        # box decode / score / NMS arithmetic stays f32 for ranking stability;
+        # RoIAlign + box head pool in the backbone compute dtype (bf16 in
+        # production — halves the pooling HBM traffic)
         dets = MaskRCNNDetector(
             num_classes=self.num_classes,
             max_detections=self.max_detections,
             name="detector",
             **det_kwargs,
-        )({k: v.astype(jnp.float32) for k, v in feats.items()}, images.shape[1:3])
+        )({k: v.astype(jnp.float32) for k, v in feats.items()}, images.shape[1:3],
+          pool_feats=feats)
 
         if self.obj_id_map is not None:
             raw = dets["labels"]
@@ -103,24 +107,44 @@ class MaskRCNNFeatureBackbone(nn.Module):
 
 
 def add_position_embeddings(
-    masks: List[jnp.ndarray], hidden_dim: int, dtype=jnp.float32
+    masks: List[jnp.ndarray], hidden_dim: int, dtype=jnp.float32,
+    scale: float = 2 * _math.pi,
 ) -> List[jnp.ndarray]:
-    """Sine embedding per level. Parity: Joiner pos loop (backbone.py:46-48)."""
+    """Sine embedding per level. Parity: Joiner pos loop (backbone.py:46-48).
+
+    `scale` honors --position_embedding_scale. The reference accepts that flag
+    (main.py:69) but never passes it into PositionEmbeddingSine
+    (position_encoding.py:119 builds with the 2*pi default) — here it is
+    actually plumbed; the reference default reproduces reference outputs.
+    """
     return [
-        position_embedding_sine(m, num_pos_feats=hidden_dim // 2, dtype=jnp.float32).astype(dtype)
+        position_embedding_sine(
+            m, num_pos_feats=hidden_dim // 2, scale=scale, dtype=jnp.float32
+        ).astype(dtype)
         for m in masks
     ]
 
 
 class PositionEmbeddingLearned(nn.Module):
-    """Learned 50x50 absolute embedding. Parity: models/position_encoding.py:87-112
-    (row/col embeddings of num_pos_feats each, concatenated)."""
+    """Learned 50x50 absolute embedding. Parity: models/position_encoding.py:87-112.
+
+    Row/col embedding tables of `num_pos_feats` each; output channel order is
+    x-features then y-features (position_encoding.py:108-111 — NOTE: the
+    opposite of the sine embedding's y-then-x). One instance is shared across
+    pyramid levels, like the reference's single module inside the Joiner
+    (models/backbone.py:21-30). Levels larger than the 50x50 table fail at
+    trace time, matching the reference's out-of-range nn.Embedding error.
+    """
 
     num_pos_feats: int = 128
 
     @nn.compact
-    def __call__(self, feature: jnp.ndarray) -> jnp.ndarray:
-        B, H, W, _ = feature.shape
+    def __call__(self, pad_mask: jnp.ndarray) -> jnp.ndarray:
+        B, H, W = pad_mask.shape
+        if H > 50 or W > 50:
+            raise ValueError(
+                f"PositionEmbeddingLearned: level {H}x{W} exceeds the 50x50 "
+                "table (reference models/position_encoding.py:93-94)")
         row = self.param("row_embed", nn.initializers.uniform(1.0), (50, self.num_pos_feats))
         col = self.param("col_embed", nn.initializers.uniform(1.0), (50, self.num_pos_feats))
         x_emb = col[:W]                                   # (W, F)

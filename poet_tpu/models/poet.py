@@ -18,6 +18,7 @@ re-designed static-shape:
 
 from __future__ import annotations
 
+import math as _math
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from poet_tpu.config import ModelConfig
-from poet_tpu.models.backbone import add_position_embeddings
+from poet_tpu.models.backbone import PositionEmbeddingLearned, add_position_embeddings
 from poet_tpu.models.transformer import DeformableTransformer
 from poet_tpu.ops.embeddings import bbox_embedding_sine, position_embedding_sine
 from poet_tpu.utils import boxes as box_ops
@@ -58,6 +59,14 @@ class PoET(nn.Module):
 
     backbone: nn.Module
     cfg: ModelConfig
+    # --position_embedding {sine, learned} / --position_embedding_scale
+    # (reference main.py:67-69; module selection position_encoding.py:115-125).
+    # These mirror BackboneConfig — build_model plumbs them here because the
+    # embedding is applied to the feature maps INSIDE the model (the
+    # reference's Joiner owns it; here the extra pyramid levels at :134 need
+    # it too, pose_estimation_transformer.py:326-335).
+    position_embedding: str = "sine"
+    position_embedding_scale: float = 2 * _math.pi
 
     @nn.compact
     def __call__(
@@ -79,7 +88,19 @@ class PoET(nn.Module):
         features, masks, backbone_dets = self.backbone(images, pad_mask)
         if detections is None:
             detections = backbone_dets
-        pos = add_position_embeddings(masks, C, compute_dtype)
+        if self.position_embedding == "learned":
+            # one module shared across levels, like the reference's single
+            # PositionEmbeddingLearned inside the Joiner (backbone.py:21-30)
+            pos_module = PositionEmbeddingLearned(
+                num_pos_feats=C // 2, name="position_embedding")
+            embed_level = lambda m: pos_module(m).astype(compute_dtype)
+            pos = [embed_level(m) for m in masks]
+        else:
+            embed_level = lambda m: position_embedding_sine(
+                m, num_pos_feats=C // 2, scale=self.position_embedding_scale
+            ).astype(compute_dtype)
+            pos = add_position_embeddings(
+                masks, C, compute_dtype, scale=self.position_embedding_scale)
 
         # ---- query construction ------------------------------------------
         if cfg.bbox_mode in ("gt", "jitter"):
@@ -131,9 +152,10 @@ class PoET(nn.Module):
                 pad_mask.astype(jnp.float32), (B,) + x.shape[1:3], "nearest"
             ).astype(bool)
             masks.append(m)
-            pos.append(
-                position_embedding_sine(m, num_pos_feats=C // 2).astype(compute_dtype)
-            )
+            # extra levels use the same embedding module/scale as the backbone
+            # levels (pose_estimation_transformer.py:326-335 calls the Joiner's
+            # position-embedding module on the new mask)
+            pos.append(embed_level(m))
 
         # ---- reference points (:337-340) ----------------------------------
         reference_points = t_boxes[:, :, :2] if cfg.reference_points == "bbox" else None

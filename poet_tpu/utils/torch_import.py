@@ -142,6 +142,14 @@ def convert_poet_checkpoint(
 
     if "query_embed.weight" in sd:
         out["query_embed"] = sd["query_embed.weight"]
+    # learned position embedding lives inside the Joiner at backbone.1
+    # (models/backbone.py:21-30; PositionEmbeddingLearned row/col tables,
+    # position_encoding.py:87-99)
+    if "backbone.1.row_embed.weight" in sd:
+        out["position_embedding"] = {
+            "row_embed": sd["backbone.1.row_embed.weight"],
+            "col_embed": sd["backbone.1.col_embed.weight"],
+        }
     return out
 
 

@@ -357,3 +357,78 @@ def test_enc_remat_gradients_match():
     gb = grads("off")
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _randomize_offset_kernels(params, seed=0):
+    """Give the zero-initialized deformable sampling_offsets /
+    attention_weights kernels random values. At init those are exactly zero
+    (Deformable-DETR convention), which makes encoder outputs INDEPENDENT of
+    the image position embeddings — q = src + pos feeds only those two
+    projections. Position-embedding wiring is only observable past them."""
+    key = [jax.random.PRNGKey(seed)]
+
+    def walk(tree, path=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, path + "/" + k)
+            elif k == "kernel" and (
+                "sampling_offsets" in path or "attention_weights" in path
+            ):
+                key[0], sub = jax.random.split(key[0])
+                out[k] = 0.1 * jax.random.normal(sub, v.shape, v.dtype)
+            else:
+                out[k] = v
+        return out
+
+    return {"params": walk(params["params"])}
+
+
+def test_position_embedding_learned_is_wired(rng):
+    """--position_embedding learned must change the model (VERDICT r2 #3):
+    the learned tables exist in the param tree, feed every pyramid level
+    (incl. the extra stride-64 level), and perturbing them moves outputs."""
+    np_rng = np.random.default_rng(11)
+    images, pad, targets = make_batch(np_rng, B=1, Q=5, H=128, W=128)
+    cfg = tiny_config()
+    cfg.backbone.position_embedding = "learned"
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), images, pad, targets)
+    params = _randomize_offset_kernels(params)
+
+    pe = params["params"]["position_embedding"]
+    assert pe["row_embed"].shape == (50, 32)       # hidden_dim // 2
+    assert pe["col_embed"].shape == (50, 32)
+
+    out0 = model.apply(params, images, pad, targets, deterministic=True)
+    params2 = jax.tree_util.tree_map(lambda x: x, params)
+    params2["params"] = dict(params2["params"])
+    params2["params"]["position_embedding"] = {
+        "row_embed": pe["row_embed"] + 1.0,
+        "col_embed": pe["col_embed"],
+    }
+    out1 = model.apply(params2, images, pad, targets, deterministic=True)
+    assert not np.allclose(
+        np.asarray(out0["translations"]), np.asarray(out1["translations"])
+    ), "learned position tables do not reach the transformer"
+
+
+def test_position_embedding_scale_is_wired(rng):
+    """--position_embedding_scale must change sine-embedding outputs. (The
+    reference accepts the flag, main.py:69, but never plumbs it — here it is
+    real; the default 2*pi reproduces reference outputs.)"""
+    np_rng = np.random.default_rng(12)
+    images, pad, targets = make_batch(np_rng, B=1, Q=5, H=128, W=128)
+    cfg = tiny_config()
+    model_a = build_model(cfg)
+    params = model_a.init(jax.random.PRNGKey(0), images, pad, targets)
+    params = _randomize_offset_kernels(params)
+    cfg_b = tiny_config()
+    cfg_b.backbone.position_embedding_scale = 1.0
+    model_b = build_model(cfg_b)
+    # sine embedding is parameter-free: the same param tree drives both
+    out_a = model_a.apply(params, images, pad, targets, deterministic=True)
+    out_b = model_b.apply(params, images, pad, targets, deterministic=True)
+    assert not np.allclose(
+        np.asarray(out_a["translations"]), np.asarray(out_b["translations"])
+    ), "position_embedding_scale does not reach the sine embedding"

@@ -238,6 +238,48 @@ def test_bbox_embedding_matches_reference(rng):
     )
 
 
+def test_learned_position_embedding_matches_reference(rng):
+    """Weight-shared parity vs PositionEmbeddingLearned
+    (models/position_encoding.py:87-112): copy the reference's random row/col
+    tables into our module and compare the (B, H, W, 2F) output — including
+    the x-then-y channel order, the opposite of the sine embedding's."""
+    import torch
+
+    import util  # noqa: F401  (stub chain set up by earlier tests' fixture)
+    if "util.misc" not in sys.modules or not hasattr(
+            sys.modules["util.misc"], "NestedTensor"):
+        misc_stub = types.ModuleType("util.misc")
+
+        class NestedTensor:
+            def __init__(self, tensors, mask):
+                self.tensors, self.mask = tensors, mask
+
+        misc_stub.NestedTensor = NestedTensor
+        sys.modules["util.misc"] = misc_stub
+        sys.modules["util"].misc = misc_stub
+    NestedTensor = sys.modules["util.misc"].NestedTensor
+    pe = _load_ref_module("ref_position_encoding", "models/position_encoding.py")
+
+    ref_mod = pe.PositionEmbeddingLearned(num_pos_feats=16)
+    row = ref_mod.row_embed.weight.detach().numpy()
+    col = ref_mod.col_embed.weight.detach().numpy()
+
+    B, H, W = 2, 12, 9
+    x = torch.zeros(B, 3, H, W)
+    ref = ref_mod(NestedTensor(x, torch.zeros(B, H, W, dtype=torch.bool)))
+    ref = ref.detach().numpy()                      # (B, 2F, H, W)
+
+    from poet_tpu.models.backbone import PositionEmbeddingLearned
+
+    ours = np.asarray(
+        PositionEmbeddingLearned(num_pos_feats=16).apply(
+            {"params": {"row_embed": jnp.asarray(row), "col_embed": jnp.asarray(col)}},
+            jnp.zeros((B, H, W), bool),
+        )
+    )                                               # (B, H, W, 2F)
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+
 def test_set_criterion_losses_match_reference(rng):
     """Run the reference SetCriterion (torch CPU) against our criterion on the
     same matched predictions/targets — covers all six loss functions + aux."""
