@@ -32,6 +32,7 @@ class MaskRCNNDetectorBackbone(nn.Module):
 
     num_classes: int = 22           # incl. background (rcnn cfg label map)
     max_detections: int = 100
+    post_nms_top_n: int = 1000
     obj_id_map: Optional[Tuple[Tuple[int, int], ...]] = None  # ((raw, new), ...)
     return_layers: Tuple[str, ...] = ("2", "3", "pool")
     train_backbone: bool = False
@@ -55,6 +56,7 @@ class MaskRCNNDetectorBackbone(nn.Module):
         dets = MaskRCNNDetector(
             num_classes=self.num_classes,
             max_detections=self.max_detections,
+            post_nms_top_n=self.post_nms_top_n,
             name="detector",
             **det_kwargs,
         )({k: v.astype(jnp.float32) for k, v in feats.items()}, images.shape[1:3],

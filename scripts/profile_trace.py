@@ -36,7 +36,32 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
         model = build_model(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
 
-    if which == "fwd":
+    if which == "detect":
+        # detector-in-the-loop (bbox_mode='backbone') — the bench.py
+        # maskrcnn_detect_pose config
+        from poet_tpu.config import PoETConfig
+        from poet_tpu.models import build_model
+        from poet_tpu.utils.params import cast_params_for_inference
+
+        cfg = PoETConfig()
+        cfg.backbone.name = "maskrcnn"
+        cfg.model.dtype = "bfloat16"
+        cfg.model.bbox_mode = "backbone"
+        cfg.model.enc_deform_impl = impl or "fused"
+        model = build_model(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
+        params = cast_params_for_inference(params)
+
+        @jax.jit
+        def f(params, images):
+            def body(i, c):
+                out = model.apply(params, images * (1 + c * 1e-9), pad_mask,
+                                  None, deterministic=True)
+                return jnp.mean(out["translations"].astype(jnp.float32))
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        args = (params, images)
+    elif which == "fwd":
         @jax.jit
         def f(params, images):
             def body(i, c):
@@ -153,7 +178,8 @@ def report(trace_dir: str, iters: int, top: int = 20):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("workload", nargs="?", default="fwd", choices=["fwd", "train"])
+    ap.add_argument("workload", nargs="?", default="fwd",
+                    choices=["fwd", "train", "detect"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default="/tmp/poet_tpu_trace")
     ap.add_argument("--impl", default=None,
