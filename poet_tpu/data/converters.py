@@ -45,7 +45,7 @@ def convert_bop_to_poet(
     data_paths: Sequence[str],
     img_types: Sequence[str],
     output_file: str,
-    image_size: Tuple[int, int] = (640, 480),
+    image_size: Optional[Tuple[int, int]] = None,
     min_visib_fract: float = 0.05,
     keyframes: Optional[Sequence[str]] = None,
     obj_id_map: Optional[Dict[int, int]] = None,
@@ -56,7 +56,24 @@ def convert_bop_to_poet(
     Mirrors ycbv2poet.py:107-216: walks `<base>/<data_path>/<scene>/`, reads
     scene_gt.json / scene_gt_info.json / scene_camera.json, filters barely
     visible objects, clamps boxes, scales translations mm -> m.
+
+    image_size (W, H) defaults to autodetecting from the first rgb image
+    (the reference hardcodes 640x480, ycbv2poet.py:158-180).
     """
+    if image_size is None:
+        from PIL import Image
+
+        for data_path in data_paths:
+            for scene in sorted(os.listdir(os.path.join(base_path, data_path))):
+                rgb = os.path.join(base_path, data_path, scene, "rgb")
+                if os.path.isdir(rgb):
+                    first = sorted(os.listdir(rgb))[0]
+                    with Image.open(os.path.join(rgb, first)) as im:
+                        image_size = im.size           # (W, H)
+                    break
+            if image_size:
+                break
+        assert image_size, f"no rgb images under {base_path}/{data_paths}"
     W, H = image_size
     out = {"images": [], "categories": _categories(class_names), "annotations": []}
     image_id = 0

@@ -89,3 +89,67 @@ def make_synthetic_dataset(root, n_train=8, n_test=4, H=96, W=128, seed=0,
     with open(f"{root}/models_eval/models_info.json", "w") as f:
         json.dump(info, f)
     return root
+
+
+def _write_ply(path, pts):
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(pts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\nend_header\n")
+        for p in pts:
+            f.write(struct.pack("<fff", *p))
+
+
+def make_synthetic_bop_dataset(root, n_scenes=1, n_imgs=3, n_classes=21,
+                               H=96, W=128, seed=0):
+    """BOP-layout fixture: test/<scene>/{rgb, scene_gt, scene_gt_info,
+    scene_camera} + models_eval with obj_XXXXXX.ply and models_info.json —
+    the directory shape `scripts/repro_bop.sh` consumes (the same shape the
+    real YCB-V/LM-O BOP archives unpack to)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(f"{root}/models_eval", exist_ok=True)
+    info = {}
+    for k in range(1, n_classes + 1):
+        pts = rng.normal(scale=20.0, size=(100, 3))
+        _write_ply(f"{root}/models_eval/obj_{k:06d}.ply", pts)
+        info[str(k)] = {"diameter": float(2 * np.abs(pts).max())}
+    with open(f"{root}/models_eval/models_info.json", "w") as f:
+        json.dump(info, f)
+
+    cam_K = [100.0, 0, W / 2, 0, 100.0, H / 2, 0, 0, 1]
+    for s in range(1, n_scenes + 1):
+        scene = f"{root}/test/{s:06d}"
+        os.makedirs(f"{scene}/rgb", exist_ok=True)
+        gt, gt_info, cam = {}, {}, {}
+        for i in range(n_imgs):
+            arr = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(f"{scene}/rgb/{i:06d}.png")
+            objs, infos = [], []
+            for _ in range(int(rng.integers(1, 4))):
+                q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+                q *= np.sign(np.diag(r))
+                if np.linalg.det(q) < 0:
+                    q[:, 0] *= -1
+                t_mm = (rng.uniform(-0.2, 0.2, 3) + [0, 0, 0.8]) * 1000.0
+                objs.append({
+                    "cam_R_m2c": [float(v) for v in q.reshape(-1)],
+                    "cam_t_m2c": [float(v) for v in t_mm],
+                    "obj_id": int(rng.integers(1, 4)),
+                })
+                x = float(rng.uniform(5, W - 40))
+                y = float(rng.uniform(5, H - 40))
+                w = float(rng.uniform(10, 30))
+                h = float(rng.uniform(10, 30))
+                infos.append({"bbox_obj": [x, y, w, h],
+                              "bbox_visib": [x, y, w, h],
+                              "visib_fract": float(rng.uniform(0.5, 1.0))})
+            gt[str(i)] = objs
+            gt_info[str(i)] = infos
+            cam[str(i)] = {"cam_K": cam_K, "depth_scale": 0.1}
+        with open(f"{scene}/scene_gt.json", "w") as f:
+            json.dump(gt, f)
+        with open(f"{scene}/scene_gt_info.json", "w") as f:
+            json.dump(gt_info, f)
+        with open(f"{scene}/scene_camera.json", "w") as f:
+            json.dump(cam, f)
+    return root
