@@ -11,7 +11,10 @@ configs (VERDICT r1 items 2 & 6):
   * maskrcnn_detect_pose_img_s — bs=16 DETECTOR-IN-THE-LOOP throughput
     (bbox_mode='backbone': ResNet-50-FPN + RPN + RoI heads + PoET, the
     reference's deployed mode, /root/reference/main.py:407),
-  * yolov4_detect_pose_img_s  — bs=16 YOLOv4-CSP detect+pose,
+  * yolov4_full_pyramid_img_s — bs=16 YOLOv4-CSP detect+pose in the
+    REFERENCE configuration (all three CSP scales feed PoET, S=6380),
+  * yolov4_detect_pose_img_s  — bs=16 YOLOv4-CSP detect+pose with the
+    TPU-first trimmed encoder (strides >= 16; an extension config),
   * bs1_latency_ms            — gt-mode single-image device latency,
   * train_step_img_s          — bs=16 full train step (fwd+match+loss+bwd+opt).
 Set POET_BENCH_EXTRA=0 to skip the extras (primary metric only).
@@ -144,7 +147,15 @@ def bench_maskrcnn_detect_pose(B=16):
     return rate
 
 
-def bench_yolov4_detect_pose(B=16):
+def bench_yolov4_detect_pose(B=16, encoder_min_stride=16):
+    """YOLOv4-CSP detect+pose.
+
+    encoder_min_stride=16 is the TPU-first trimmed-encoder option (PoET
+    consumes strides >= 16, the same levels the rcnn path feeds it;
+    detections keep all scales). encoder_min_stride=1 is the REFERENCE
+    configuration — the reference wrapper feeds PoET all three CSP scales
+    (strides 8/16/32, S=6380 tokens; /root/reference/README.md:105-107) —
+    reported as yolov4_full_pyramid_img_s."""
     if not os.path.exists(YOLO_CFG):
         return None
     import jax
@@ -159,9 +170,7 @@ def bench_yolov4_detect_pose(B=16):
     cfg.backbone.name = "yolov4"
     cfg.backbone.cfg_path = YOLO_CFG
     cfg.backbone.max_detections = 20
-    # TPU-first trimmed-encoder option: PoET consumes strides >= 16 (same
-    # levels the rcnn path feeds it); detections keep all scales
-    cfg.backbone.encoder_min_stride = 16
+    cfg.backbone.encoder_min_stride = encoder_min_stride
     cfg.model.bbox_mode = "backbone"
     cfg.model.n_classes = 21
     cfg.model.enc_deform_impl = "fused"
@@ -173,6 +182,11 @@ def bench_yolov4_detect_pose(B=16):
     params = cast_params_for_inference(params)
     rate, _ = _forward_rate(model, params, images, pad_mask, None)
     return rate
+
+
+def bench_yolov4_full_pyramid(B=16):
+    """Reference-config YOLOv4 detect+pose: full stride-8/16/32 pyramid."""
+    return bench_yolov4_detect_pose(B=B, encoder_min_stride=1)
 
 
 def bench_bs1_latency_ms():
@@ -231,6 +245,9 @@ def main():
         extra = {}
         for key, fn in (
             ("maskrcnn_detect_pose_img_s", bench_maskrcnn_detect_pose),
+            # reference config: all three CSP scales feed PoET (S=6380)
+            ("yolov4_full_pyramid_img_s", bench_yolov4_full_pyramid),
+            # TPU-first trimmed-encoder extra (encoder_min_stride=16)
             ("yolov4_detect_pose_img_s", bench_yolov4_detect_pose),
             ("bs1_latency_ms", bench_bs1_latency_ms),
             ("train_step_img_s", bench_train_step_img_s),

@@ -48,6 +48,9 @@ def get_args_parser():
     p.add_argument("--backbone_conf_thresh", default=0.4, type=float)
     p.add_argument("--backbone_iou_thresh", default=0.5, type=float)
     p.add_argument("--backbone_agnostic_nms", action="store_true")
+    p.add_argument("--post_nms_top_n", default=1000, type=int,
+                   help="RPN proposals entering the RoI heads (torchvision "
+                        "test-time default 1000); a serving knob")
     p.add_argument("--yolo_box_decode", default="u5", type=str,
                    choices=("u5", "darknet"),
                    help="yolov4 head decode: 'u5' = the reference wrapper's "
@@ -217,6 +220,7 @@ def args_to_config(args) -> PoETConfig:
     b.conf_thresh = args.backbone_conf_thresh
     b.iou_thresh = args.backbone_iou_thresh
     b.agnostic_nms = args.backbone_agnostic_nms
+    b.post_nms_top_n = args.post_nms_top_n
     b.encoder_min_stride = args.encoder_min_stride
     b.yolo_box_decode = args.yolo_box_decode
     b.position_embedding = args.position_embedding

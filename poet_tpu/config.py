@@ -66,6 +66,10 @@ class BackboneConfig:
     position_embedding_scale: float = 2 * math.pi
     # static-shape detector caps (TPU: NMS/top-k must have fixed sizes)
     max_detections: int = 100
+    # RPN proposals entering the RoI heads (torchvision test-time default
+    # 1000). A serving/dryrun knob: lowering it shrinks the RoI-align and
+    # box-head work proportionally at some recall cost.
+    post_nms_top_n: int = 1000
     input_size: Tuple[int, int] = (480, 640)   # (H, W), constant per config
     # rcnn YAML `anchor_sizes` (per FPN level); None -> torchvision defaults.
     # `input_resize` is recorded for parity but has no runtime effect: the

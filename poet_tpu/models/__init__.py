@@ -56,6 +56,7 @@ def build_model(cfg: PoETConfig) -> PoET:
             backbone = MaskRCNNDetectorBackbone(
                 num_classes=det_classes,
                 max_detections=cfg.backbone.max_detections,
+                post_nms_top_n=cfg.backbone.post_nms_top_n,
                 obj_id_map=obj_map,
                 anchor_sizes=cfg.backbone.anchor_sizes,
                 dtype=bb_dtype,

@@ -162,3 +162,52 @@ def test_dp_sp_tp_train_step():
     loss_3d = run(create_mesh_3d(2, 2, 2))
     assert np.isfinite(loss_3d)
     np.testing.assert_allclose(loss_3d, loss_dp, rtol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_backbone_mode_sharded_matches_single_device():
+    """The reference's DEPLOYED mode (bbox_mode='backbone', main.py:407):
+    RPN + NMS + RoI align + PoET must run under the dp x sp x tp mesh and
+    produce the single-device result (VERDICT r2 #4 — the detector path was
+    previously never executed on the virtual mesh)."""
+    from poet_tpu.config import PoETConfig
+    from poet_tpu.models import build_model
+    from poet_tpu.parallel.mesh import shard_batch
+    from poet_tpu.parallel.tp import create_mesh_3d, shard_params
+
+    cfg = PoETConfig()
+    cfg.backbone.name = "maskrcnn"
+    cfg.model.bbox_mode = "backbone"
+    cfg.model.hidden_dim = 64
+    cfg.model.nheads = 4
+    cfg.model.enc_layers = 2
+    cfg.model.dec_layers = 2
+    cfg.model.dim_feedforward = 128
+    cfg.model.num_queries = 4
+    cfg.model.n_classes = 4
+    cfg.model.dropout = 0.0
+    cfg.backbone.max_detections = 8
+    cfg.backbone.post_nms_top_n = 64
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((4, 64, 64), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
+    out_ref = jax.jit(
+        lambda p, i, m: model.apply(p, i, m, None, deterministic=True)
+    )(params, images, pad_mask)
+
+    mesh = create_mesh_3d(2, 2, 2)
+    p = shard_params(params, mesh)
+    batch = shard_batch({"images": images, "pad_mask": pad_mask}, mesh)
+    out_sh = jax.jit(
+        lambda p, i, m: model.apply(p, i, m, None, deterministic=True)
+    )(p, batch["images"], batch["pad_mask"])
+    for key in ("translations", "rotations", "pred_boxes", "pred_scores"):
+        np.testing.assert_allclose(
+            np.asarray(out_sh[key]), np.asarray(out_ref[key]),
+            atol=1e-5, rtol=1e-4, err_msg=key)
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["pred_classes"]), np.asarray(out_ref["pred_classes"]))
