@@ -17,6 +17,7 @@ Inference-only: the reference always runs the detector frozen in eval mode
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -28,6 +29,7 @@ from poet_tpu.ops.detection import (
     batched_class_nms,
     exact_class_nms_mask,
     multiscale_roi_align,
+    multiscale_roi_align_batched,
     nms_padded,
 )
 
@@ -230,11 +232,20 @@ class MaskRCNNDetector(nn.Module):
         # RoI-align is vmapped; the MLP head + predictor then run ONCE over
         # the folded (B*P) batch — a single big matmul instead of B copies.
         sy_strides = [s[0] for s in strides]
-        pooled = jax.vmap(
-            lambda fs, bx: multiscale_roi_align(
-                list(fs), sy_strides[:4], bx, output_size=7, sampling_ratio=2
-            )
-        )(tuple(roi_feats[:4]), prop_boxes)                    # (B, P, 7, 7, C)
+        if os.environ.get("POET_ROI_IMPL", "slab") == "flat":
+            pooled = jax.vmap(
+                lambda fs, bx: multiscale_roi_align(
+                    list(fs), sy_strides[:4], bx, output_size=7, sampling_ratio=2
+                )
+            )(tuple(roi_feats[:4]), prop_boxes)                # (B, P, 7, 7, C)
+        else:
+            # the whole batch through ONE flat table — batch folded into the
+            # row offsets, NOT vmapped (vmapping the gather makes XLA pick a
+            # batch-inner table layout that destroys slab contiguity; see
+            # multiscale_roi_align_batched)
+            pooled = multiscale_roi_align_batched(
+                list(roi_feats[:4]), sy_strides[:4], prop_boxes,
+                output_size=7, sampling_ratio=2)               # (B, P, 7, 7, C)
         P = pooled.shape[1]
         # torchvision flattens NCHW: (C, 7, 7) order
         pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(B * P, -1)

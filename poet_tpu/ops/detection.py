@@ -21,13 +21,24 @@ from jax import lax
 
 
 def pairwise_iou_xyxy(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
-    """(N, 4) x (M, 4) -> (N, M) IoU."""
-    area1 = jnp.clip(boxes1[:, 2] - boxes1[:, 0], 0) * jnp.clip(boxes1[:, 3] - boxes1[:, 1], 0)
-    area2 = jnp.clip(boxes2[:, 2] - boxes2[:, 0], 0) * jnp.clip(boxes2[:, 3] - boxes2[:, 1], 0)
-    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0)
-    inter = wh[..., 0] * wh[..., 1]
+    """(N, 4) x (M, 4) -> (N, M) IoU.
+
+    Per-coordinate scalar arithmetic (no stacked (..., 2) corner axis): the
+    stacked form made XLA materialize (N, M, 2) min/max intermediates —
+    measured ~14 ms/iter of HBM traffic across the 22 per-class NMS matrices
+    of the detect+pose batch — where the scalar chain fuses into the single
+    suppression-predicate output."""
+    x1a, y1a, x2a, y2a = (boxes1[:, i] for i in range(4))
+    x1b, y1b, x2b, y2b = (boxes2[:, i] for i in range(4))
+    area1 = jnp.clip(x2a - x1a, 0) * jnp.clip(y2a - y1a, 0)
+    area2 = jnp.clip(x2b - x1b, 0) * jnp.clip(y2b - y1b, 0)
+    iw = jnp.clip(
+        jnp.minimum(x2a[:, None], x2b[None, :])
+        - jnp.maximum(x1a[:, None], x1b[None, :]), 0)
+    ih = jnp.clip(
+        jnp.minimum(y2a[:, None], y2b[None, :])
+        - jnp.maximum(y1a[:, None], y1b[None, :]), 0)
+    inter = iw * ih
     union = area1[:, None] + area2[None, :] - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
@@ -299,10 +310,10 @@ def multiscale_roi_align(
         canonical_scale, canonical_level)
 
 
-def _roi_level_geometry(features, strides, boxes, canonical_scale,
+def _roi_level_geometry(shapes, strides, boxes, canonical_scale,
                         canonical_level):
-    """Shared LevelMapper + flat-table geometry for both implementations."""
-    L = len(features)
+    """Shared LevelMapper + flat-table geometry. `shapes` = [(H_l, W_l)]."""
+    L = len(shapes)
     w = jnp.clip(boxes[:, 2] - boxes[:, 0], 0)
     h = jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
     scale = jnp.sqrt(w * h)
@@ -313,13 +324,11 @@ def _roi_level_geometry(features, strides, boxes, canonical_scale,
     k_min = int(round(math.log2(strides[0])))
     lvl = jnp.floor(canonical_level + jnp.log2(scale / canonical_scale + 1e-6))
     lvl = (jnp.clip(lvl, k_min, k_min + L - 1) - k_min).astype(jnp.int32)
-    H_arr = jnp.asarray([f.shape[0] for f in features], jnp.float32)
-    W_arr = jnp.asarray([f.shape[1] for f in features], jnp.float32)
-    W_int = jnp.asarray([f.shape[1] for f in features], jnp.int32)
-    sizes = [f.shape[0] * f.shape[1] for f in features]
-    off_arr = jnp.asarray([sum(sizes[:i]) for i in range(L)], jnp.int32)
+    H_arr = jnp.asarray([s[0] for s in shapes], jnp.float32)
+    W_arr = jnp.asarray([s[1] for s in shapes], jnp.float32)
+    W_int = jnp.asarray([s[1] for s in shapes], jnp.int32)
     inv_stride = jnp.asarray([1.0 / s for s in strides], jnp.float32)
-    return lvl, H_arr, W_arr, W_int, off_arr, inv_stride
+    return lvl, H_arr, W_arr, W_int, inv_stride
 
 
 def _roi_sample_coords(boxes_lvl, grid, output_size, H_of, W_of):
@@ -347,62 +356,79 @@ def _roi_sample_coords(boxes_lvl, grid, output_size, H_of, W_of):
 
 
 def _gather_slabs(flat, starts, window):
-    """Gather (window, C) contiguous row slabs: starts (...,) -> (..., window, C)."""
+    """Gather (window, C) contiguous row slabs: starts (...,) -> (..., window, C).
+
+    The gather runs through a singleton vmap: XLA lowers BATCHED gathers via
+    the fast parallel gather fusion, but a plain 2-D operand takes the
+    sequential dynamic-slice while-loop path (measured 706 ms/iter at the
+    production detect+pose scale vs ~60 ms for the identical batched form,
+    on-chip A/B 2026-08-19). With batch=1 the batch dim is degenerate, so
+    slab rows stay physically contiguous whatever layout XLA assigns."""
     C = flat.shape[1]
+
+    def one(f, idx):
+        return lax.gather(
+            f,
+            idx,
+            lax.GatherDimensionNumbers(
+                offset_dims=(1, 2),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(window, C),
+        )
+
     idx = starts.reshape(-1, 1)
-    out = lax.gather(
-        flat,
-        idx,
-        lax.GatherDimensionNumbers(
-            offset_dims=(1, 2),
-            collapsed_slice_dims=(),
-            start_index_map=(0,),
-        ),
-        slice_sizes=(window, C),
-    )
+    out = jax.vmap(one)(flat[None], idx[None])[0]
     return out.reshape(*starts.shape, window, C)
 
 
-def _multiscale_roi_align_slab(
-    features, strides, boxes, output_size, sampling_ratio,
-    canonical_scale, canonical_level, window: int = 64,
+def multiscale_roi_align_batched(
+    features, strides, boxes, output_size: int = 7, sampling_ratio: int = 2,
+    canonical_scale: int = 224, canonical_level: int = 4, window: int = 64,
     wide_capacity: int = 64,
 ):
-    """Slab-gather RoIAlign: big contiguous gathers + MXU interpolation.
+    """Batched slab-gather RoIAlign: per-level (B, H_l, W_l, C) features +
+    (B, R, 4) boxes -> (B, R, out, out, C).
 
-    Per (box, y-sample) the two bilinear corner ROWS are fetched as two
-    contiguous (window, C) slabs from the flat concatenated pyramid (the
-    x-window [wx, wx+window) around the box's samples), and the whole
-    bilinear interpolation + x-bin averaging collapses into ONE dot_general:
-    X (r, N, out, 2, window) contract (2, window) against the gathered
-    slabs (r, N, 2, window, C). Corner weights are the exact (1-frac, frac)
-    pairs of torchvision roi_align, placed by integer one-hot comparison —
-    identical arithmetic to the corner-gather formulation, reassociated.
+    The WHOLE batch pools through one 2-D flat table (levels and batch both
+    folded into the row offset): per (box, y-sample) the two bilinear corner
+    ROWS are fetched as contiguous (window, C) slices (32 KB at production
+    scale), and the full bilinear interpolation + x-bin averaging collapses
+    into dot_generals against one-hot corner-weight tensors built from the
+    exact torchvision (1-frac, frac) pairs.
+
+    Batching by folding instead of vmap is deliberate: a vmapped
+    single-image gather makes XLA batch the operand and pick a batch-INNER
+    table layout ({2,0,1}), which destroys slab contiguity — measured as
+    strided gathers at ~196 GB/s plus a 46 ms/iter relayout copy on the
+    bs=16 detect+pose batch. The 2-D operand keeps rows contiguous and the
+    gather emits the batched-matmul rhs layout directly.
 
     Exactness: with wx = min(xlo_first, W_l - window) the window covers every
     sample unless a box's x-span exceeds window-2 AND the box sits left of
-    W_l - window. Such "wide" boxes (possible only on levels with W_l >
-    window; RPN slivers) are re-pooled exactly by a full-width pass over the
-    top-`wide_capacity` boxes ranked by window-coverage violation, whose
-    results overwrite the fast ones. With 1000 proposals per image, >64
-    simultaneously-wide boxes would require >64 near-degenerate full-image-
-    width sliver proposals; the property test covers the bound
-    (tests/test_detection_ops.py).
+    W_l - window (possible only on levels wider than the window — RPN
+    slivers). The top-`wide_capacity` boxes PER IMAGE by coverage violation
+    are re-pooled exactly with the window widened to the largest level
+    width; >wide_capacity simultaneous slivers per image is the documented
+    bound (property-tested in tests/test_detection_ops.py).
     """
-    R = boxes.shape[0]
+    B, R = boxes.shape[:2]
     C = features[0].shape[-1]
     if R == 0:
-        return jnp.zeros((0, output_size, output_size, C), features[0].dtype)
-    for li, f in enumerate(features):
-        if min(f.shape[0], f.shape[1]) < 2:
+        return jnp.zeros((B, 0, output_size, output_size, C), features[0].dtype)
+    shapes = [(f.shape[1], f.shape[2]) for f in features]
+    for li, (h, w_) in enumerate(shapes):
+        if min(h, w_) < 2:
             raise ValueError(
-                f"multiscale_roi_align: level {li} is {f.shape[0]}x{f.shape[1]};"
+                f"multiscale_roi_align: level {li} is {h}x{w_};"
                 " every pyramid level needs H >= 2 and W >= 2 for bilinear"
                 " corner gathers")
-    lvl, H_arr, W_arr, W_int, off_arr, inv_stride = _roi_level_geometry(
-        features, strides, boxes, canonical_scale, canonical_level)
-    W0 = max(f.shape[1] for f in features)
-    wide_w = 2 * W0
+    boxes_flat = boxes.reshape(B * R, 4)
+    lvl, H_arr, W_arr, W_int, inv_stride = _roi_level_geometry(
+        shapes, strides, boxes_flat, canonical_scale, canonical_level)
+    L = len(shapes)
+    W0 = max(w_ for _, w_ in shapes)
 
     s = sampling_ratio
     N = output_size * s
@@ -410,21 +436,26 @@ def _multiscale_roi_align_slab(
     kk = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
     grid = (ii[:, None] + kk[None, :]).reshape(N)            # (N,)
 
+    # one 2-D table: [level0 (B*H0*W0 rows), level1, ...]; row offset of
+    # (image b, level l) = level base + b * level size
+    sizes = [h * w_ for h, w_ in shapes]
+    base = [B * sum(sizes[:i]) for i in range(L)]
+    base_arr = jnp.asarray(base, jnp.int32)
+    size_arr = jnp.asarray(sizes, jnp.int32)
     flat = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)
-    flat = jnp.pad(flat, ((0, wide_w + window), (0, 0)))
+    flat = jnp.pad(flat, ((0, 2 * W0 + window), (0, 0)))
     dt = flat.dtype
 
     sc = inv_stride[lvl]
-    boxes_lvl = boxes.astype(jnp.float32) * sc[:, None]
+    boxes_lvl = boxes_flat.astype(jnp.float32) * sc[:, None]
     xlo, xfrac, x_out, ylo, yfrac, y_out = _roi_sample_coords(
         boxes_lvl, grid, output_size, H_arr[lvl], W_arr[lvl])
-    Wl = W_int[lvl]                                          # (R,)
-    row_start = off_arr[lvl][:, None] + ylo * Wl[:, None]    # (R, N)
-    wx = jnp.minimum(xlo[:, 0], jnp.maximum(Wl - window, 0))  # (R,)
+    Wl = W_int[lvl]                                          # (B*R,)
+    img = jnp.arange(B * R, dtype=jnp.int32) // R
+    row_start = (base_arr[lvl] + img * size_arr[lvl])[:, None] + ylo * Wl[:, None]
+    wx = jnp.minimum(xlo[:, 0], jnp.maximum(Wl - window, 0))  # (B*R,)
     # window-coverage violation; 0 = the fast path is exact for this box
     over = jnp.maximum(xlo[:, -1] + 1 - (wx + window - 1), 0)
-
-    iota_w = jnp.arange(window)
 
     def pool_boxes(xlo_c, xfrac_c, x_out_c, yfrac_c, y_out_c, row_c, wx_c,
                    wl_c, win):
@@ -462,8 +493,9 @@ def _multiscale_roi_align_slab(
         out = out.reshape(r, output_size, s, output_size, C).mean(2)
         return out.astype(dt)
 
-    chunk = max(1, min(64, R))
-    pad = (-R) % chunk
+    BR = B * R
+    chunk = max(1, min(1024, BR))
+    pad = (-BR) % chunk
 
     def cpad(x, fill=0):
         cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
@@ -480,23 +512,40 @@ def _multiscale_roi_align_slab(
         )
     )
     out = lax.map(lambda a: pool_boxes(*a, window), args)    # (n, chunk, o, o, C)
-    out = out.reshape(-1, output_size, output_size, C)[:R]
+    out = out.reshape(-1, output_size, output_size, C)[:BR]
 
     # ---- exact full-width re-pool of window-violating ("wide") boxes -------
     # Same pooling code with the window widened to the largest level width
     # and wx = 0: pos = xlo <= W_l - 2 <= W0 - 2 always fits, so this path
-    # is exact for ANY box geometry. Only the top-`wide_capacity` boxes by
-    # coverage violation need it (their results overwrite the fast ones).
+    # is exact for ANY box geometry. Only the top-`wide_capacity` boxes per
+    # image by coverage violation need it; their results overwrite the fast
+    # ones (unconditionally — for covered boxes both paths agree exactly).
     if wide_capacity > 0 and W0 > window:
         Kw = min(wide_capacity, R)
-        _, wide_i = lax.top_k(over, Kw)                      # (Kw,)
+        _, wide_img_i = lax.top_k(over.reshape(B, R), Kw)    # (B, Kw)
+        wide_i = (jnp.arange(B, dtype=jnp.int32)[:, None] * R
+                  + wide_img_i).reshape(-1)                  # (B*Kw,)
         out_w = pool_boxes(
             xlo[wide_i], xfrac[wide_i], x_out[wide_i], yfrac[wide_i],
-            y_out[wide_i], row_start[wide_i], jnp.zeros(Kw, jnp.int32),
-            Wl[wide_i], W0,
+            y_out[wide_i], row_start[wide_i],
+            jnp.zeros(B * Kw, jnp.int32), Wl[wide_i], W0,
         )
         out = out.at[wide_i].set(out_w)
-    return out
+    return out.reshape(B, R, output_size, output_size, C)
+
+
+def _multiscale_roi_align_slab(
+    features, strides, boxes, output_size, sampling_ratio,
+    canonical_scale, canonical_level, window: int = 64,
+    wide_capacity: int = 64,
+):
+    """Single-image view of `multiscale_roi_align_batched` (B = 1)."""
+    out = multiscale_roi_align_batched(
+        [f[None] for f in features], strides, boxes[None],
+        output_size=output_size, sampling_ratio=sampling_ratio,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        window=window, wide_capacity=wide_capacity)
+    return out[0]
 
 
 def _multiscale_roi_align_flat(
