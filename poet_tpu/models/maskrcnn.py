@@ -232,7 +232,7 @@ class MaskRCNNDetector(nn.Module):
         # RoI-align is vmapped; the MLP head + predictor then run ONCE over
         # the folded (B*P) batch — a single big matmul instead of B copies.
         sy_strides = [s[0] for s in strides]
-        if os.environ.get("POET_ROI_IMPL", "slab") == "flat":
+        if os.environ.get("POET_ROI_IMPL", "auto") == "flat":
             pooled = jax.vmap(
                 lambda fs, bx: multiscale_roi_align(
                     list(fs), sy_strides[:4], bx, output_size=7, sampling_ratio=2

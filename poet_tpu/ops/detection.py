@@ -295,19 +295,19 @@ def multiscale_roi_align(
 ) -> jnp.ndarray:
     """torchvision MultiScaleRoIAlign: FPN level by box scale (Eq. 1 of FPN).
 
-    Default implementation is the slab-gather + MXU-interpolation path
-    (`_multiscale_roi_align_slab`) — the r2 profile showed the per-corner
-    row-gather formulation ran at ~6% HBM bandwidth (245 ms/iter of the
-    bs=16 detect+pose batch, 12.8M 512-byte descriptors). POET_ROI_IMPL=flat
-    restores the corner-gather path (kept as the cross-check oracle).
+    Single-image view of `multiscale_roi_align_batched` (same POET_ROI_IMPL
+    dispatch: pallas / slab / auto). POET_ROI_IMPL=flat selects the
+    corner-gather formulation (kept as the cross-check oracle; the r2
+    profile showed it runs at ~6% HBM bandwidth at production scale).
     """
-    if os.environ.get("POET_ROI_IMPL", "slab") == "flat":
+    if os.environ.get("POET_ROI_IMPL", "auto") == "flat":
         return _multiscale_roi_align_flat(
             features, strides, boxes, output_size, sampling_ratio,
             canonical_scale, canonical_level)
-    return _multiscale_roi_align_slab(
-        features, strides, boxes, output_size, sampling_ratio,
-        canonical_scale, canonical_level)
+    return multiscale_roi_align_batched(
+        [f[None] for f in features], strides, boxes[None],
+        output_size=output_size, sampling_ratio=sampling_ratio,
+        canonical_scale=canonical_scale, canonical_level=canonical_level)[0]
 
 
 def _roi_level_geometry(shapes, strides, boxes, canonical_scale,
@@ -383,7 +383,58 @@ def _gather_slabs(flat, starts, window):
     return out.reshape(*starts.shape, window, C)
 
 
+def _roi_impl_auto(features) -> str:
+    """Implementation choice when POET_ROI_IMPL is unset/auto.
+
+    The Pallas kernel stages one image's whole pyramid in VMEM, so it is
+    eligible only on TPU and only when the (padded) levels fit the ~16 MB
+    budget alongside its scratch/output blocks (production bf16 pyramids
+    are ~13 MB; f32 at full scale does not fit and takes the slab path)."""
+    if jax.default_backend() != "tpu":
+        return "slab"
+    from poet_tpu.ops import roi_align_pallas as rap
+
+    C = features[0].shape[-1]
+    Cp = max(((C + 127) // 128) * 128, 8)
+    bytes_ = sum(
+        f.shape[1] * max(rap._ceil8(f.shape[2]), rap._level_rx(f.shape[2]))
+        * Cp * f.dtype.itemsize
+        for f in features
+    )
+    return "pallas" if bytes_ <= 13_500_000 else "slab"
+
+
 def multiscale_roi_align_batched(
+    features, strides, boxes, output_size: int = 7, sampling_ratio: int = 2,
+    canonical_scale: int = 224, canonical_level: int = 4, window: int = 64,
+    wide_capacity: int = 64, impl: str = None,
+):
+    """Batched MultiScaleRoIAlign dispatcher: per-level (B, H_l, W_l, C)
+    features + (B, R, 4) boxes -> (B, R, out, out, C).
+
+    impl (or POET_ROI_IMPL): 'pallas' = VMEM-resident-pyramid kernel
+    (roi_align_pallas.py — the TPU production path), 'slab' = XLA
+    slab-gather + MXU interpolation (below; also the pallas path's exact
+    wide-box fallback), 'auto' (default) = pallas on TPU when the pyramid
+    fits VMEM, slab otherwise."""
+    impl = impl or os.environ.get("POET_ROI_IMPL", "auto")
+    if impl == "auto":
+        impl = _roi_impl_auto(features)
+    if impl == "pallas":
+        from poet_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+        return multiscale_roi_align_pallas(
+            features, strides, boxes, output_size=output_size,
+            sampling_ratio=sampling_ratio, canonical_scale=canonical_scale,
+            canonical_level=canonical_level)
+    return _multiscale_roi_align_slab_batched(
+        features, strides, boxes, output_size=output_size,
+        sampling_ratio=sampling_ratio, canonical_scale=canonical_scale,
+        canonical_level=canonical_level, window=window,
+        wide_capacity=wide_capacity)
+
+
+def _multiscale_roi_align_slab_batched(
     features, strides, boxes, output_size: int = 7, sampling_ratio: int = 2,
     canonical_scale: int = 224, canonical_level: int = 4, window: int = 64,
     wide_capacity: int = 64,
@@ -539,8 +590,8 @@ def _multiscale_roi_align_slab(
     canonical_scale, canonical_level, window: int = 64,
     wide_capacity: int = 64,
 ):
-    """Single-image view of `multiscale_roi_align_batched` (B = 1)."""
-    out = multiscale_roi_align_batched(
+    """Single-image view of the slab path (B = 1)."""
+    out = _multiscale_roi_align_slab_batched(
         [f[None] for f in features], strides, boxes[None],
         output_size=output_size, sampling_ratio=sampling_ratio,
         canonical_scale=canonical_scale, canonical_level=canonical_level,

@@ -333,3 +333,45 @@ def test_exact_class_nms_beats_candidate_cap_adversarially(rng):
     cap_i = np.argsort(-np.asarray(scores_pc))[:400]
     assert not np.isin(np.arange(P * ncls)[keep], cap_i).all(), (
         "adversarial case no longer exercises the cap; strengthen it")
+
+
+def test_multiscale_roi_align_pallas_matches_flat_oracle(rng):
+    """The Pallas VMEM-resident-pyramid kernel (interpret mode on CPU) must
+    reproduce the corner-gather oracle: normal boxes pooled in-kernel, plus
+    slivers wider than the 64-px x-window exercising the exact wide-box
+    re-pool fallback."""
+    from poet_tpu.ops.detection import _multiscale_roi_align_flat
+    from poet_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+    shapes = [(60, 80), (30, 40), (15, 20), (8, 10)]
+    C = 8
+    B = 2
+    feats = [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+             for h, w in shapes]
+    strides = [4, 8, 16, 32]
+
+    n = 20
+    boxes = []
+    for _ in range(B):
+        x0 = rng.uniform(0, 280, n)
+        y0 = rng.uniform(0, 200, n)
+        w = rng.uniform(2, 150, n)
+        h = rng.uniform(2, 150, n)
+        normal = np.stack(
+            [x0, y0, np.minimum(x0 + w, 320), np.minimum(y0 + h, 240)], 1)
+        # full-width slivers: wider than the 64-px window on level 0
+        k = 4
+        sy = rng.uniform(0, 230, k)
+        slivers = np.stack(
+            [np.zeros(k), sy, np.full(k, 320.0), sy + rng.uniform(4, 16, k)], 1)
+        boxes.append(np.concatenate([normal, slivers]))
+    boxes = jnp.asarray(np.stack(boxes).astype(np.float32))
+
+    out = multiscale_roi_align_pallas(
+        feats, strides, boxes, output_size=7, sampling_ratio=2,
+        wide_capacity=8, interpret=True)
+    for b in range(B):
+        ref = _multiscale_roi_align_flat(
+            [f[b] for f in feats], strides, boxes[b], 7, 2, 224, 4)
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), atol=2e-4)
