@@ -17,12 +17,17 @@ variants:
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
-SHAPES = [(30, 40), (15, 20), (8, 10), (4, 5)]
+# DEFORM_SHAPES=yolo selects the YOLOv4-CSP full-pyramid geometry (S=6380);
+# default is the rcnn/paper pyramid (S=1575).
+SHAPES = ([(60, 80), (30, 40), (15, 20), (8, 10)]
+          if os.environ.get("DEFORM_SHAPES") == "yolo"
+          else [(30, 40), (15, 20), (8, 10), (4, 5)])
 
 
 def build_variant(name, QT):
@@ -155,12 +160,16 @@ def main():
     B, H, D, L, P = 16, 16, 16, 4, 4
     S = sum(h * w for h, w in SHAPES)
     Q = S
-    rng = np.random.default_rng(0)
-    value = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype)
-    loc = jnp.asarray(rng.uniform(0, 1, size=(B, Q, H, L, P, 2)), jnp.float32)
-    attn = jnp.asarray(rng.uniform(size=(B, Q, H, L, P)), jnp.float32)
+    # generate on-device: uploading ~200 MB of host arrays through the
+    # relay tunnel takes minutes at YOLO shapes
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    gen = jax.jit(lambda: (
+        jax.random.normal(k1, (B, S, H, D), dtype),
+        jax.random.uniform(k2, (B, Q, H, L, P, 2), jnp.float32).astype(dtype),
+        jax.random.uniform(k3, (B, Q, H, L, P), jnp.float32),
+    ))
+    value, loc, attn = gen()
     attn = (attn / attn.sum(axis=(-2, -1), keepdims=True)).astype(dtype)
-    loc = loc.astype(dtype)
 
     def fn_of(n_iters):
         @jax.jit

@@ -61,6 +61,39 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
             return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         args = (params, images)
+    elif which == "yolo":
+        # reference-config YOLOv4-CSP detect+pose (full stride-8/16/32
+        # pyramid, S=6380) — the bench.py yolov4_full_pyramid config
+        import os
+
+        from poet_tpu.config import PoETConfig
+        from poet_tpu.models import build_model
+        from poet_tpu.utils.params import cast_params_for_inference
+
+        cfg = PoETConfig()
+        cfg.model.dtype = "bfloat16"
+        cfg.backbone.name = "yolov4"
+        cfg.backbone.cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "ycbv_yolov4-csp.cfg")
+        cfg.backbone.max_detections = 20
+        cfg.backbone.encoder_min_stride = 1
+        cfg.model.bbox_mode = "backbone"
+        cfg.model.n_classes = 21
+        cfg.model.enc_deform_impl = impl or "fused"
+        model = build_model(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
+        params = cast_params_for_inference(params)
+
+        @jax.jit
+        def f(params, images):
+            def body(i, c):
+                out = model.apply(params, images * (1 + c * 1e-9), pad_mask,
+                                  None, deterministic=True)
+                return jnp.mean(out["translations"].astype(jnp.float32))
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        args = (params, images)
     elif which == "fwd":
         @jax.jit
         def f(params, images):
@@ -179,7 +212,7 @@ def report(trace_dir: str, iters: int, top: int = 20):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("workload", nargs="?", default="fwd",
-                    choices=["fwd", "train", "detect"])
+                    choices=["fwd", "train", "detect", "yolo"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default="/tmp/poet_tpu_trace")
     ap.add_argument("--impl", default=None,
