@@ -35,7 +35,10 @@ def _to_host(tree):
         if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
             from jax.experimental import multihost_utils
 
-            return np.asarray(multihost_utils.process_allgather(x))
+            # tiled=True: reassemble the GLOBAL array (global sharded inputs
+            # reject the default stacking mode — caught by the 2-process
+            # test tests/mp_worker.py, which this path previously failed)
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
         return jax.device_get(x)
 
     return jax.tree_util.tree_map(one, tree)

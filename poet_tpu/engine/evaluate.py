@@ -127,7 +127,7 @@ def pack_pairs(pairs, pad_to: int):
             v = pr.get(field, 1.0 if field == "score" else None)
             if v is None:
                 continue
-            arr[i] = np.asarray(v, dtype)
+            arr[i] = np.asarray(v, dtype).reshape(shape)
         out[field] = arr
     return out
 

@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from poet_tpu.ops.detection import (
     batched_class_nms,
+    class_nms_select_pruned,
     exact_class_nms_mask,
     multiscale_roi_align,
     multiscale_roi_align_batched,
@@ -117,13 +118,53 @@ class RPNHead(nn.Module):
         return logits, deltas
 
 
+class _FC(nn.Module):
+    """Dense params (kernel/bias) without a fixed input-flatten order —
+    same tree layout and initializers as nn.Dense so checkpoints port 1:1."""
+
+    features: int
+    in_features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features))
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,))
+
+
 class TwoMLPHead(nn.Module):
-    """torchvision TwoMLPHead (fc6/fc7, 1024 each)."""
+    """torchvision TwoMLPHead (fc6/fc7, 1024 each).
+
+    `padded_in=(Hp, Wp, Cp, C)` consumes pooled features in the Pallas RoI
+    align's native padded (N, Hp, Wp, Cp) HWC block (pad positions exact
+    zeros) by permuting + zero-padding the fc6 kernel to match — the
+    product is bit-identical to slicing/transposing the input to
+    torchvision's (C, out, out) flatten (zero rows contribute zero), but
+    skips the input-side slice/transpose copies on 16k RoIs/batch. The
+    param keeps torchvision's (C*out*out, 1024) shape, so checkpoint import
+    is unchanged; the (25 MB bf16) kernel rearrangement streams once per
+    forward, amortized over the 16000-row matmul."""
+
+    padded_in: Tuple[int, int, int, int] = None
 
     @nn.compact
     def __call__(self, x):
-        x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(1024, name="fc6")(x))
+        if self.padded_in is None:
+            x = x.reshape(x.shape[0], -1)
+            x = nn.relu(nn.Dense(1024, name="fc6")(x))
+        else:
+            Hp, Wp, Cp, C = self.padded_in
+            o = 7
+            fc6 = _FC(1024, C * o * o, name="fc6")
+            w = fc6.kernel.reshape(C, o, o, 1024)              # (C,7,7) order
+            w = jnp.transpose(w, (1, 2, 0, 3))                 # (7,7,C,1024)
+            w = jnp.pad(w, ((0, Hp - o), (0, Wp - o), (0, Cp - C), (0, 0)))
+            w = w.reshape(Hp * Wp * Cp, 1024)
+            # nn.Dense dtype promotion: inputs/params promote jointly
+            dt = jnp.promote_types(x.dtype, fc6.kernel.dtype)
+            x = x.reshape(x.shape[0], -1).astype(dt)
+            x = nn.relu(x @ w.astype(dt) + fc6.bias.astype(dt))
         x = nn.relu(nn.Dense(1024, name="fc7")(x))
         return x
 
@@ -159,6 +200,11 @@ class MaskRCNNDetector(nn.Module):
     # as a perf knob; its saturation CAN change detections vs exact
     # (adversarial near-tied clusters) — covered by tests.
     nms_candidates: int = None
+    # exact-NMS fast path: size of the certified score-pruned candidate set
+    # (class_nms_select_pruned). Output is exact regardless of the value —
+    # it only trades the fast path's width against how often the whole-batch
+    # exact fallback triggers. 0 disables pruning (always full suppression).
+    nms_prune_k: int = 1024
     # anchor sizes per FPN level, from the rcnn YAML `anchor_sizes` key
     # (parity: backbone_maskrcnn.py:26-33 builds the AnchorGenerator from it)
     anchor_sizes: Tuple[Tuple[int, ...], ...] = ANCHOR_SIZES
@@ -232,24 +278,44 @@ class MaskRCNNDetector(nn.Module):
         # RoI-align is vmapped; the MLP head + predictor then run ONCE over
         # the folded (B*P) batch — a single big matmul instead of B copies.
         sy_strides = [s[0] for s in strides]
-        if os.environ.get("POET_ROI_IMPL", "auto") == "flat":
-            pooled = jax.vmap(
-                lambda fs, bx: multiscale_roi_align(
-                    list(fs), sy_strides[:4], bx, output_size=7, sampling_ratio=2
-                )
-            )(tuple(roi_feats[:4]), prop_boxes)                # (B, P, 7, 7, C)
-        else:
-            # the whole batch through ONE flat table — batch folded into the
-            # row offsets, NOT vmapped (vmapping the gather makes XLA pick a
-            # batch-inner table layout that destroys slab contiguity; see
-            # multiscale_roi_align_batched)
-            pooled = multiscale_roi_align_batched(
+        impl = os.environ.get("POET_ROI_IMPL", "auto")
+        if impl == "auto":
+            from poet_tpu.ops.detection import _roi_impl_auto
+
+            impl = _roi_impl_auto(roi_feats[:4])
+        if impl == "pallas":
+            # Pallas VMEM-resident pyramid, consumed in its native padded
+            # (Mo, Mo, Cp) block: the head's zero-padded fc6 kernel makes
+            # the flatten exact without the 7x7xC slice + NCHW transpose
+            from poet_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+            pooled = multiscale_roi_align_pallas(
                 list(roi_feats[:4]), sy_strides[:4], prop_boxes,
-                output_size=7, sampling_ratio=2)               # (B, P, 7, 7, C)
-        P = pooled.shape[1]
-        # torchvision flattens NCHW: (C, 7, 7) order
-        pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(B * P, -1)
-        x = TwoMLPHead(name="box_head")(pooled)
+                output_size=7, sampling_ratio=2, padded_output=True)
+            P = pooled.shape[1]
+            _, _, Mo, _, Cp = pooled.shape
+            C_feat = roi_feats[0].shape[-1]
+            x = TwoMLPHead(name="box_head", padded_in=(Mo, Mo, Cp, C_feat))(
+                pooled.reshape(B * P, -1))
+        else:
+            if impl == "flat":
+                pooled = jax.vmap(
+                    lambda fs, bx: multiscale_roi_align(
+                        list(fs), sy_strides[:4], bx, output_size=7,
+                        sampling_ratio=2)
+                )(tuple(roi_feats[:4]), prop_boxes)            # (B, P, 7, 7, C)
+            else:
+                # the whole batch through ONE flat table — batch folded into
+                # the row offsets, NOT vmapped (vmapping the gather makes XLA
+                # pick a batch-inner table layout that destroys slab
+                # contiguity; see multiscale_roi_align_batched)
+                pooled = multiscale_roi_align_batched(
+                    list(roi_feats[:4]), sy_strides[:4], prop_boxes,
+                    output_size=7, sampling_ratio=2, impl=impl)  # (B,P,7,7,C)
+            P = pooled.shape[1]
+            # torchvision flattens NCHW: (C, 7, 7) order
+            pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(B * P, -1)
+            x = TwoMLPHead(name="box_head")(pooled)
         class_logits, box_deltas = FastRCNNPredictor(
             self.num_classes, name="box_predictor"
         )(x)
@@ -257,14 +323,16 @@ class MaskRCNNDetector(nn.Module):
         scores = jax.nn.softmax(class_logits, axis=-1).reshape(B, P, ncls)
         box_deltas = box_deltas.reshape(B, P, ncls * 4)
 
-        def postprocess_one(scores_b, deltas_b, prop_boxes_b, prop_valid_b):
+        PN = P * ncls
+        labels_pc = jnp.tile(jnp.arange(ncls), (P,))
+
+        def decode_one(scores_b, deltas_b, prop_boxes_b, prop_valid_b):
             # decode per class (weights (10, 10, 5, 5))
-            deltas_pc = deltas_b.reshape(P * ncls, 4)
+            deltas_pc = deltas_b.reshape(PN, 4)
             anchors_pc = jnp.repeat(prop_boxes_b, ncls, axis=0)
             boxes_pc = decode_boxes(deltas_pc, anchors_pc, weights=(10.0, 10.0, 5.0, 5.0))
             boxes_pc = clip_boxes(boxes_pc, image_size)        # (P*ncls, 4)
-            scores_pc = scores_b.reshape(P * ncls)
-            labels_pc = jnp.tile(jnp.arange(ncls), (P,))
+            scores_pc = scores_b.reshape(PN)
             valid_pc = (
                 (labels_pc > 0)                                 # drop background
                 & (scores_pc > self.score_thresh)
@@ -273,39 +341,74 @@ class MaskRCNNDetector(nn.Module):
                 & ((boxes_pc[:, 3] - boxes_pc[:, 1]) >= 1e-2)
             )
             masked_scores = jnp.where(valid_pc, scores_pc, -jnp.inf)
-            if self.nms_candidates is None or self.nms_candidates == 0:
-                # production default: EXACT per-class NMS over the full
-                # P*ncls candidate set at (P, P) IoU cost per class — no
-                # score-top-k cap whose saturation could change detections
-                # (VERDICT r2 weak #4 / next #5). 0 keeps its documented
-                # "exact" meaning.
+            return boxes_pc, scores_pc, masked_scores
+
+        boxes_pc, scores_pc, masked_scores = jax.vmap(decode_one)(
+            scores, box_deltas, prop_boxes, prop_valid)        # (B, PN, ...)
+
+        def exact_select(operand):
+            bx, ms = operand
+
+            def one(bx_b, ms_b):
                 keep_mask = exact_class_nms_mask(
-                    boxes_pc, masked_scores, ncls, self.nms_thresh)
+                    bx_b, ms_b, ncls, self.nms_thresh)
                 top_s, sel = jax.lax.top_k(
-                    jnp.where(keep_mask, masked_scores, -jnp.inf),
-                    self.max_detections,
-                )
+                    jnp.where(keep_mask, ms_b, -jnp.inf), self.max_detections)
                 keep_valid = jnp.isfinite(top_s)
-                sel = jnp.where(keep_valid, sel, 0)
+                return jnp.where(keep_valid, sel, 0).astype(jnp.int32), keep_valid
+
+            return jax.vmap(one)(bx, ms)
+
+        if self.nms_candidates is None or self.nms_candidates == 0:
+            # production default: EXACT per-class NMS (torchvision batched_nms
+            # semantics over the full P*ncls set — VERDICT r2 weak #4). Fast
+            # path: suppress only the global score-top-`nms_prune_k`
+            # candidates, whose per-image exactness CERTIFICATE
+            # (ops/detection.py:class_nms_select_pruned) proves the result
+            # bit-identical; a whole-batch lax.cond falls back to the full
+            # (P, P)-per-class suppression when any image's certificate
+            # fails, so the output is exact ALWAYS — the certificate only
+            # decides which program computes it.
+            prune_k = self.nms_prune_k
+            if prune_k and PN > prune_k > self.max_detections:
+                def pruned_one(bx_b, ms_b):
+                    return class_nms_select_pruned(
+                        bx_b, ms_b, labels_pc, self.nms_thresh,
+                        self.max_detections, prune_k)
+
+                sel_p, valid_p, cert = jax.vmap(pruned_one)(
+                    boxes_pc, masked_scores)
+                sel, keep_valid = jax.lax.cond(
+                    jnp.all(cert),
+                    lambda _: (sel_p, valid_p),
+                    exact_select,
+                    (boxes_pc, masked_scores),
+                )
             else:
-                # opt-in perf knob: suppress only the score-top-k candidates
-                # (one small IoU matrix); can differ from exact when more
-                # than `nms_candidates` near-tied boxes cluster above real
-                # detections — see tests/test_detection_ops.py adversarial
-                # cap test.
-                cand = min(self.nms_candidates, P * ncls)
-                cand_scores, cand_i = jax.lax.top_k(masked_scores, cand)
+                sel, keep_valid = exact_select((boxes_pc, masked_scores))
+        else:
+            # opt-in perf knob: suppress only the score-top-k candidates
+            # WITHOUT the exactness fallback; its saturation can change
+            # detections (adversarial near-tied clusters) — see
+            # tests/test_detection_ops.py adversarial cap test.
+            def capped_one(bx_b, ms_b):
+                cand = min(self.nms_candidates, PN)
+                cand_scores, cand_i = jax.lax.top_k(ms_b, cand)
                 keep_idx, keep_valid = batched_class_nms(
-                    boxes_pc[cand_i], cand_scores, labels_pc[cand_i],
+                    bx_b[cand_i], cand_scores, labels_pc[cand_i],
                     jnp.isfinite(cand_scores), self.nms_thresh,
                     self.max_detections,
                 )
-                sel = cand_i[keep_idx]
+                return cand_i[keep_idx], keep_valid
+
+            sel, keep_valid = jax.vmap(capped_one)(boxes_pc, masked_scores)
+
+        def gather_one(bx_b, sc_b, sel_b, valid_b):
             return {
-                "boxes": boxes_pc[sel],
-                "scores": jnp.where(keep_valid, scores_pc[sel], 0.0),
-                "labels": jnp.where(keep_valid, labels_pc[sel], -1).astype(jnp.int32),
-                "valid": keep_valid,
+                "boxes": bx_b[sel_b],
+                "scores": jnp.where(valid_b, sc_b[sel_b], 0.0),
+                "labels": jnp.where(valid_b, labels_pc[sel_b], -1).astype(jnp.int32),
+                "valid": valid_b,
             }
 
-        return jax.vmap(postprocess_one)(scores, box_deltas, prop_boxes, prop_valid)
+        return jax.vmap(gather_one)(boxes_pc, scores_pc, sel, keep_valid)

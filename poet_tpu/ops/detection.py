@@ -210,6 +210,70 @@ def exact_class_nms_mask(
     return keep_cls.T.reshape(P * ncls)
 
 
+def class_nms_select_pruned(
+    boxes_pc: jnp.ndarray,    # (PN, 4) class-specific decoded boxes
+    scores_pc: jnp.ndarray,   # (PN,) — invalid candidates -inf
+    labels_pc: jnp.ndarray,   # (PN,) int class ids
+    iou_threshold: float,
+    max_detections: int,
+    prune_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-class NMS + top-`max_detections` selection over ONLY the global
+    score-top-`prune_k` candidates, with a PROVABLE exactness certificate.
+
+    Returns (sel (md,) int32 indices into the PN set, keep_valid (md,) bool,
+    certified () bool). When `certified` is True the selection is bit-
+    identical to exact per-class NMS of the FULL candidate set followed by
+    top-`max_detections` — the caller only needs the exact fallback when it
+    is False.
+
+    Why pruning is exact under the certificate: greedy NMS processes
+    candidates in (score desc, index asc) order and a candidate's keep
+    decision depends only on SAME-CLASS candidates ranked before it. The
+    global top-k under that same total order contains, per class, a PREFIX
+    of the class's processing order (a tied-at-the-boundary candidate that
+    precedes an included one would itself rank inside the top-k), so every
+    pruned candidate's keep bit equals its full-run keep bit. The final
+    top-`max_detections` over kept scores can then differ from the full run
+    only if a DROPPED candidate (all of score <= s_next, the (k+1)-th
+    global score) could enter it — impossible when either (a) nothing valid
+    was dropped (s_next == -inf) or (b) at least `max_detections` pruned
+    candidates are kept AND the md-th kept score strictly exceeds s_next
+    (strictness also settles float-tie ordering at the boundary).
+
+    This replaces the (P, P)-per-class exact suppression (~25 ms/batch of
+    the r3 detect+pose profile: the pred[22,16,1000] fixed point + its
+    16000-wide score/mask fusions) with ONE (prune_k, prune_k) fixed point
+    via the coordinate-offset trick — the certificate makes it a pure perf
+    rewrite, not the unsafe top-k cap of `nms_candidates` (VERDICT r3
+    next #5). Reference semantics raced: torchvision batched_nms inside
+    roi_heads, driven at models/backbone_maskrcnn.py:91.
+    """
+    PN = boxes_pc.shape[0]
+    md = max_detections
+    k = min(prune_k, PN - 1)
+    if k < md:
+        raise ValueError(f"prune_k ({prune_k}) must allow at least "
+                         f"max_detections ({md}) candidates")
+    s_k1, i_k1 = lax.top_k(scores_pc, k + 1)
+    cand_s, cand_i, s_next = s_k1[:k], i_k1[:k], s_k1[k]
+    cand_boxes = boxes_pc[cand_i]
+    cand_labels = labels_pc[cand_i]
+    finite = jnp.isfinite(cand_s)
+    # coordinate-offset trick: classes can never overlap
+    max_coord = jnp.max(jnp.where(finite[:, None], cand_boxes, 0.0)) + 1.0
+    shifted = cand_boxes + cand_labels.astype(cand_boxes.dtype)[:, None] * max_coord
+    keep = nms_keep_mask(shifted, cand_s, iou_threshold)
+    kept_scores = jnp.where(keep, cand_s, -jnp.inf)
+    top_s, sel_k = lax.top_k(kept_scores, md)
+    keep_valid = jnp.isfinite(top_s)
+    certified = (s_next == -jnp.inf) | (
+        (jnp.sum(keep) >= md) & (top_s[md - 1] > s_next)
+    )
+    sel = jnp.where(keep_valid, cand_i[sel_k], 0).astype(jnp.int32)
+    return sel, keep_valid, certified
+
+
 # ---------------------------------------------------------------------------
 # RoIAlign
 # ---------------------------------------------------------------------------

@@ -17,7 +17,6 @@ Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_kpad.py
 
 from __future__ import annotations
 
-import functools
 import time
 
 import numpy as np
@@ -36,11 +35,15 @@ def bench_k(K, M=960, N=512, R=64, G=256, dtype_name="bfloat16"):
         b = b_ref[...]
         acc = jnp.zeros((M, N), jnp.float32)
         for i in range(R):
-            # dots are mutually independent (only the cheap accumulate
-            # chains), so the MXU can pipeline at full throughput; the
-            # (i+1) salt defeats CSE across iterations
+            # each dot's operand mixes in the previous accumulator scaled by
+            # 1e-30 (numerically a no-op in bf16/f32, but NOT foldable: a
+            # scalar salt factors algebraically out of the dot, and x*0 is
+            # only removable under fast-math). The feedback serializes the
+            # dots; at M=960 the ~K-cycle pipeline drain per dot is <10% and
+            # identical across the K sweep, so K-relative ratios stand.
+            a_i = a + (acc[:, :K] * 1e-30).astype(dtype)
             acc = acc + jax.lax.dot_general(
-                a * dtype.type(i + 1), b,
+                a_i, b,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         o_ref[...] = acc

@@ -9,7 +9,7 @@ encoder breakdowns.
 
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_trace.py \
-      [fwd|train] [--iters N] [--out DIR]
+      [fwd|train|detect|yolo] [--iters N] [--out DIR]
 """
 
 from __future__ import annotations
@@ -28,42 +28,16 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
 
     from __graft_entry__ import _flagship_setup
 
+    if which not in ("fwd", "train", "detect", "yolo"):
+        raise SystemExit(f"unknown workload {which!r}")
+
     B = 16
     cfg, model, images, pad_mask, targets = _flagship_setup(B=B, H=480, W=640)
-    if impl:
-        from poet_tpu.models import build_model
-        cfg.model.enc_deform_impl = impl
-        model = build_model(cfg)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, targets)
-
-    if which == "detect":
-        # detector-in-the-loop (bbox_mode='backbone') — the bench.py
-        # maskrcnn_detect_pose config
-        from poet_tpu.config import PoETConfig
-        from poet_tpu.models import build_model
-        from poet_tpu.utils.params import cast_params_for_inference
-
-        cfg = PoETConfig()
-        cfg.backbone.name = "maskrcnn"
-        cfg.model.dtype = "bfloat16"
-        cfg.model.bbox_mode = "backbone"
-        cfg.model.enc_deform_impl = impl or "fused"
-        model = build_model(cfg)
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
-        params = cast_params_for_inference(params)
-
-        @jax.jit
-        def f(params, images):
-            def body(i, c):
-                out = model.apply(params, images * (1 + c * 1e-9), pad_mask,
-                                  None, deterministic=True)
-                return jnp.mean(out["translations"].astype(jnp.float32))
-            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-        args = (params, images)
-    elif which == "yolo":
-        # reference-config YOLOv4-CSP detect+pose (full stride-8/16/32
-        # pyramid, S=6380) — the bench.py yolov4_full_pyramid config
+    if which in ("detect", "yolo"):
+        # detector-in-the-loop (bbox_mode='backbone') configs — the bench.py
+        # maskrcnn_detect_pose / yolov4_full_pyramid workloads. The flagship
+        # model above only supplied the input tensors; its params are never
+        # initialized for these branches.
         import os
 
         from poet_tpu.config import PoETConfig
@@ -72,39 +46,44 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
 
         cfg = PoETConfig()
         cfg.model.dtype = "bfloat16"
-        cfg.backbone.name = "yolov4"
-        cfg.backbone.cfg_path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "configs", "ycbv_yolov4-csp.cfg")
-        cfg.backbone.max_detections = 20
-        cfg.backbone.encoder_min_stride = 1
         cfg.model.bbox_mode = "backbone"
-        cfg.model.n_classes = 21
         cfg.model.enc_deform_impl = impl or "fused"
+        if which == "detect":
+            cfg.backbone.name = "maskrcnn"
+        else:
+            # reference-config YOLOv4-CSP (full stride-8/16/32 pyramid, S=6380)
+            cfg.backbone.name = "yolov4"
+            cfg.backbone.cfg_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "configs", "ycbv_yolov4-csp.cfg")
+            cfg.backbone.max_detections = 20
+            cfg.backbone.encoder_min_stride = 1
+            cfg.model.n_classes = 21
         model = build_model(cfg)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask, None)
         params = cast_params_for_inference(params)
+    else:
+        if impl:
+            from poet_tpu.models import build_model
+            cfg.model.enc_deform_impl = impl
+            model = build_model(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad_mask,
+                                     targets)
+
+    if which != "train":
+        # fwd/detect/yolo differ only in whether targets feed the model
+        fwd_targets = targets if which == "fwd" else None
 
         @jax.jit
         def f(params, images):
             def body(i, c):
                 out = model.apply(params, images * (1 + c * 1e-9), pad_mask,
-                                  None, deterministic=True)
+                                  fwd_targets, deterministic=True)
                 return jnp.mean(out["translations"].astype(jnp.float32))
             return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         args = (params, images)
-    elif which == "fwd":
-        @jax.jit
-        def f(params, images):
-            def body(i, c):
-                out = model.apply(params, images * (1 + c * 1e-9), pad_mask,
-                                  targets, deterministic=True)
-                return jnp.mean(out["translations"].astype(jnp.float32))
-            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-        args = (params, images)
-    elif which == "train":
+    else:
         from poet_tpu.engine.train import make_loss_fn
 
         loss_fn = make_loss_fn(model, cfg)
@@ -122,8 +101,6 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
             return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         args = (params, images)
-    else:
-        raise SystemExit(f"unknown workload {which!r}")
 
     float(f(*args))                       # compile outside the trace
     import jax.profiler

@@ -375,3 +375,196 @@ def test_multiscale_roi_align_pallas_matches_flat_oracle(rng):
             [f[b] for f in feats], strides, boxes[b], 7, 2, 224, 4)
         np.testing.assert_allclose(
             np.asarray(out[b]), np.asarray(ref), atol=2e-4)
+
+
+def _exact_select_np(boxes_pc, scores_pc, ncls, iou_t, md):
+    """Full exact per-class NMS + top-md selection (the fallback branch)."""
+    from poet_tpu.ops.detection import exact_class_nms_mask
+
+    keep = exact_class_nms_mask(jnp.asarray(boxes_pc), jnp.asarray(scores_pc),
+                                ncls, iou_t)
+    import jax
+
+    top_s, sel = jax.lax.top_k(jnp.where(keep, jnp.asarray(scores_pc),
+                                         -jnp.inf), md)
+    valid = np.isfinite(np.asarray(top_s))
+    sel = np.where(valid, np.asarray(sel), 0)
+    return sel, valid
+
+
+def test_pruned_class_nms_certified_and_exact(rng):
+    """class_nms_select_pruned: on generic candidate sets the certificate
+    holds and the selection is BIT-IDENTICAL to full exact per-class NMS +
+    top-k (the property that makes the detect+pose fast path a pure perf
+    rewrite, VERDICT r3 next #5)."""
+    from poet_tpu.ops.detection import class_nms_select_pruned
+
+    P, ncls, md, K = 300, 4, 20, 128
+    PN = P * ncls
+    boxes = np.tile(_rand_boxes(rng, P, 400.0)[:, None, :], (1, ncls, 1))
+    boxes += rng.uniform(-2, 2, boxes.shape).astype(np.float32)
+    scores = rng.uniform(0, 1, (P, ncls)).astype(np.float32)
+    # mask most candidates (score_thresh-style) so some classes run dry
+    scores = np.where(scores > 0.35, scores, -np.inf)
+    boxes_pc = boxes.reshape(PN, 4).astype(np.float32)
+    scores_pc = scores.reshape(PN)
+    labels_pc = jnp.tile(jnp.arange(ncls), (P,))
+
+    sel_p, valid_p, cert = class_nms_select_pruned(
+        jnp.asarray(boxes_pc), jnp.asarray(scores_pc), labels_pc, 0.5, md, K)
+    assert bool(cert), "generic case should certify (plenty kept)"
+    sel_e, valid_e = _exact_select_np(boxes_pc, scores_pc, ncls, 0.5, md)
+    np.testing.assert_array_equal(np.asarray(valid_p), valid_e)
+    np.testing.assert_array_equal(np.asarray(sel_p), sel_e)
+
+
+def test_pruned_class_nms_certificate_fails_when_prune_unsafe(rng):
+    """The adversarial cluster case (where a bare top-k cap silently loses
+    detections) must FAIL the certificate, so the caller's lax.cond falls
+    back to full exact suppression."""
+    from poet_tpu.ops.detection import class_nms_select_pruned
+
+    P, ncls, md, K = 600, 3, 100, 400
+    boxes = np.zeros((P, ncls, 4), np.float32)
+    scores = np.full((P, ncls), -np.inf, np.float32)
+    cluster = np.array([450.0, 400.0, 470.0, 420.0], np.float32)
+    for i in range(500):
+        boxes[i, 1] = cluster + rng.uniform(-0.01, 0.01, 4).astype(np.float32)
+        scores[i, 1] = 0.9 + i * 1e-6
+    for i in range(99):
+        x = 10.0 + 30.0 * (i % 20)
+        y = 10.0 + 30.0 * (i // 20)
+        boxes[500 + i, 1] = [x, y, x + 20, y + 20]
+        scores[500 + i, 1] = 0.5
+    boxes_pc = boxes.reshape(P * ncls, 4)
+    scores_pc = scores.reshape(P * ncls)
+    labels_pc = jnp.tile(jnp.arange(ncls), (P,))
+
+    _, _, cert = class_nms_select_pruned(
+        jnp.asarray(boxes_pc), jnp.asarray(scores_pc), labels_pc, 0.5, md, K)
+    assert not bool(cert), (
+        "cluster starves the pruned keep set below max_detections while "
+        "valid candidates were dropped — certificate must fail")
+
+
+def test_pruned_class_nms_tie_at_boundary_not_certified(rng):
+    """Float score TIES straddling the prune boundary must not certify:
+    the md-th kept score equals the best dropped score, so ordering between
+    them is ambiguous under pruning."""
+    from poet_tpu.ops.detection import class_nms_select_pruned
+
+    P, ncls, md, K = 300, 2, 100, 128
+    PN = P * ncls
+    boxes = np.zeros((PN, 4), np.float32)
+    scores = np.full(PN, -np.inf, np.float32)
+    # 200 well-separated same-score boxes of class 1 (all survive NMS);
+    # more candidates than K, every score identical -> tie across boundary
+    for i in range(200):
+        x = 5.0 + 22.0 * (i % 25)
+        y = 5.0 + 22.0 * (i // 25)
+        boxes[i * ncls + 1] = [x, y, x + 18, y + 18]
+        scores[i * ncls + 1] = 0.75
+    labels_pc = jnp.tile(jnp.arange(ncls), (P,))
+
+    sel_p, valid_p, cert = class_nms_select_pruned(
+        jnp.asarray(boxes), jnp.asarray(scores), labels_pc, 0.5, md, K)
+    assert not bool(cert)
+    # the fallback (full exact path) still gets the right answer
+    sel_e, valid_e = _exact_select_np(boxes, scores, ncls, 0.5, md)
+    assert valid_e.sum() == md
+
+
+def test_multiscale_roi_align_pallas_padded_output(rng):
+    """padded_output=True must return the kernel's (Mo, Mo, Cp) block whose
+    core equals the sliced output and whose pad positions are EXACT zeros
+    (the padded-fc6 contract)."""
+    from poet_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+    shapes = [(60, 80), (30, 40), (15, 20), (8, 10)]
+    C, B, n = 8, 2, 12
+    feats = [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+             for h, w in shapes]
+    strides = [4, 8, 16, 32]
+    boxes = []
+    for _ in range(B):
+        x0 = rng.uniform(0, 280, n)
+        y0 = rng.uniform(0, 200, n)
+        w = rng.uniform(2, 150, n)
+        h = rng.uniform(2, 150, n)
+        boxes.append(np.stack(
+            [x0, y0, np.minimum(x0 + w, 320), np.minimum(y0 + h, 240)], 1))
+    boxes = jnp.asarray(np.stack(boxes).astype(np.float32))
+
+    plain = multiscale_roi_align_pallas(
+        feats, strides, boxes, output_size=7, sampling_ratio=2,
+        interpret=True)
+    padded = multiscale_roi_align_pallas(
+        feats, strides, boxes, output_size=7, sampling_ratio=2,
+        interpret=True, padded_output=True)
+    assert padded.shape[2] == padded.shape[3] == 8
+    np.testing.assert_array_equal(
+        np.asarray(padded[:, :, :7, :7, :C]), np.asarray(plain))
+    pad_vals = np.concatenate([
+        np.asarray(padded[:, :, 7:]).ravel(),
+        np.asarray(padded[:, :, :, 7:]).ravel(),
+        np.asarray(padded[:, :, :, :, C:]).ravel(),
+    ])
+    np.testing.assert_array_equal(pad_vals, 0.0)
+
+
+def test_multiscale_roi_align_pallas_wide_saturation_falls_back(rng):
+    """VERDICT r3 next #7: MORE x-window violators per image than
+    `wide_capacity` must trigger the whole-batch slab fallback, so the
+    result still matches the oracle EXACTLY (no silently clipped box #17+)."""
+    from poet_tpu.ops.detection import _multiscale_roi_align_flat
+    from poet_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+    shapes = [(60, 80), (30, 40), (15, 20), (8, 10)]
+    C, B = 8, 2
+    feats = [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+             for h, w in shapes]
+    strides = [4, 8, 16, 32]
+    boxes = []
+    for _ in range(B):
+        # 12 full-width slivers (every one violates the 64-px x-window on
+        # level 0) + 4 normal boxes, with wide_capacity=8 < 12
+        k = 12
+        sy = rng.uniform(0, 220, k)
+        slivers = np.stack(
+            [np.zeros(k), sy, np.full(k, 320.0), sy + rng.uniform(4, 16, k)], 1)
+        x0 = rng.uniform(0, 250, 4)
+        y0 = rng.uniform(0, 180, 4)
+        normal = np.stack([x0, y0, x0 + 40, y0 + 40], 1)
+        boxes.append(np.concatenate([slivers, normal]))
+    boxes = jnp.asarray(np.stack(boxes).astype(np.float32))
+
+    out = multiscale_roi_align_pallas(
+        feats, strides, boxes, output_size=7, sampling_ratio=2,
+        wide_capacity=8, interpret=True)
+    for b in range(B):
+        ref = _multiscale_roi_align_flat(
+            [f[b] for f in feats], strides, boxes[b], 7, 2, 224, 4)
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), atol=2e-4)
+
+
+def test_two_mlp_head_padded_matches_plain(rng):
+    """Zero-padded HWC fc6 consumption must equal torchvision's (C,7,7)
+    flatten bit-for-bit in f32 (zero weights kill the pad positions)."""
+    import jax
+
+    from poet_tpu.models.maskrcnn import TwoMLPHead
+
+    N, o, C, Mo, Cp = 6, 7, 16, 8, 16
+    pooled = rng.normal(size=(N, o, o, C)).astype(np.float32)
+    padded = np.zeros((N, Mo, Mo, Cp), np.float32)
+    padded[:, :o, :o, :C] = pooled
+
+    head_plain = TwoMLPHead()
+    head_pad = TwoMLPHead(padded_in=(Mo, Mo, Cp, C))
+    x_plain = jnp.asarray(pooled.transpose(0, 3, 1, 2).reshape(N, -1))
+    params = head_plain.init(jax.random.PRNGKey(0), x_plain)
+    out_plain = head_plain.apply(params, x_plain)
+    out_pad = head_pad.apply(params, jnp.asarray(padded.reshape(N, -1)))
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_plain),
+                               atol=1e-5)

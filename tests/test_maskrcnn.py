@@ -167,3 +167,27 @@ def test_yaml_anchor_sizes_change_proposals(rng, tmp_path):
     out_a = det_a.apply(params, feats, (64, 64))
     out_b = det_b.apply(params, feats, (64, 64))
     assert not np.allclose(np.asarray(out_a["boxes"]), np.asarray(out_b["boxes"]))
+
+
+def test_detector_pruned_nms_matches_full_exact():
+    """The certified score-pruned exact-NMS fast path (nms_prune_k) must be
+    output-IDENTICAL to full exact suppression (nms_prune_k=0) end-to-end —
+    same features, same params, both branches of the whole-batch cond."""
+    rng = np.random.default_rng(7)
+    H, W = 64, 64
+    feats = {}
+    for name, stride in zip(["0", "1", "2", "3", "pool"], [4, 8, 16, 32, 64]):
+        feats[name] = jnp.asarray(
+            rng.normal(size=(2, H // stride, W // stride, 256)).astype(np.float32)
+        )
+    # PN = post_nms_top_n * num_classes = 320 > prune_k=160 > max_detections
+    det_fast = MaskRCNNDetector(num_classes=5, max_detections=10,
+                                post_nms_top_n=64, nms_prune_k=160)
+    det_full = MaskRCNNDetector(num_classes=5, max_detections=10,
+                                post_nms_top_n=64, nms_prune_k=0)
+    params = det_fast.init(jax.random.PRNGKey(0), feats, (H, W))
+    out_fast = det_fast.apply(params, feats, (H, W))
+    out_full = det_full.apply(params, feats, (H, W))
+    for k in ["boxes", "scores", "labels", "valid"]:
+        np.testing.assert_array_equal(np.asarray(out_fast[k]),
+                                      np.asarray(out_full[k]), err_msg=k)
