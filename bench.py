@@ -214,7 +214,13 @@ def bench_train_step_img_s(B=16):
     state0 = TrainState(params=params, opt_state=tx.init(params),
                         step=jnp.zeros((), jnp.int32))
     step_fn = make_train_step(model, cfg, tx, donate=False)
-    rng = jax.random.PRNGKey(0)
+    # rbg dropout keys: the recommended TPU training config (--rng_impl rbg,
+    # config.py:248-254). threefry2x32 spends ~10 ms/step of VPU on mask
+    # generation for zero statistical benefit to dropout; rbg measured +13%
+    # on this step (VALIDATION r3 A/B). The CLI default stays threefry for
+    # reference-stream reproducibility; the bench reports the config a
+    # production TPU run would use, exactly as it pins enc_deform_impl.
+    rng = jax.random.key(0, impl="rbg")
 
     def make_loop(n_iters):
         @jax.jit

@@ -160,11 +160,18 @@ class TwoMLPHead(nn.Module):
             w = fc6.kernel.reshape(C, o, o, 1024)              # (C,7,7) order
             w = jnp.transpose(w, (1, 2, 0, 3))                 # (7,7,C,1024)
             w = jnp.pad(w, ((0, Hp - o), (0, Wp - o), (0, Cp - C), (0, 0)))
-            w = w.reshape(Hp * Wp * Cp, 1024)
             # nn.Dense dtype promotion: inputs/params promote jointly
             dt = jnp.promote_types(x.dtype, fc6.kernel.dtype)
-            x = x.reshape(x.shape[0], -1).astype(dt)
-            x = nn.relu(x @ w.astype(dt) + fc6.bias.astype(dt))
+            # contract the (Hp, Wp, Cp) block axes directly: dot_general with
+            # three contracting dims lets XLA fold the flatten into the
+            # matmul instead of materializing a (N, Hp*Wp*Cp) relayout copy
+            # (tiled TPU layouts of the 5-D block and the 2-D matrix differ
+            # physically — the reshape measured 1.6 ms/iter at 16k RoIs)
+            x = x.reshape(x.shape[0], Hp, Wp, Cp).astype(dt)
+            x = jax.lax.dot_general(
+                x, w.astype(dt),
+                dimension_numbers=(((1, 2, 3), (0, 1, 2)), ((), ())))
+            x = nn.relu(x + fc6.bias.astype(dt))
         x = nn.relu(nn.Dense(1024, name="fc7")(x))
         return x
 

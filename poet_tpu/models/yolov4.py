@@ -24,6 +24,7 @@ tanh/softplus chain into surrounding ops on TPU.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict, List, Tuple
 
@@ -59,6 +60,74 @@ def _ints(s: str) -> List[int]:
     return [int(t) for t in re.split(r"[,\s]+", s.strip()) if t]
 
 
+class _Stride2ConvS2D(nn.Module):
+    """EXACT space-to-depth rewrite of a 3x3/stride-2 darknet conv.
+
+    The r4 YOLO profile showed XLA lowering the early small-C stride-2 convs
+    at ~25x their MAC+HBM roofline (6.4 ms/iter for 32->64 at 480x640: the
+    chosen layout puts BATCH in sublanes and the 64 channels in half-empty
+    lanes). Folding the 2x2 stride phases into channels gives XLA a
+    stride-1 2x2 conv with 4*C input channels (full lanes) instead.
+
+    Algebra (exact, not an approximation): with input blocks
+    inp2[y', x', (py, px, c)] = in[2y'+py, 2x'+px, c] and the original 3x3
+    taps dy = 2ky' + py - 1 (same for x), a 2x2 stride-1 conv over inp2
+    with top/left-only padding covers every tap; the (ky'=0, py=0) quadrant
+    has no matching dy and carries ZERO weights. The param keeps the
+    darknet (3, 3, C, O) kernel layout, so .weights import and checkpoints
+    are unchanged; the rearrangement streams at apply time (tiny).
+    """
+
+    features: int
+    use_bias: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, self.features))
+        w2 = jnp.zeros((2, 2, 2, 2, C, self.features), k.dtype)
+        for ky in range(2):
+            for py in range(2):
+                dy = 2 * ky + py - 1
+                if not 0 <= dy < 3:
+                    continue
+                for kx in range(2):
+                    for px in range(2):
+                        dx = 2 * kx + px - 1
+                        if not 0 <= dx < 3:
+                            continue
+                        w2 = w2.at[ky, kx, py, px].set(k[dy, dx])
+        w2 = w2.reshape(2, 2, 4 * C, self.features)
+
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        dt = self.dtype
+        y = jax.lax.conv_general_dilated(
+            x2.astype(dt), w2.astype(dt), window_strides=(1, 1),
+            padding=[(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,))
+            y = y + b.astype(dt)
+        return y
+
+
+def _use_s2d(size, stride, pad, x):
+    """3x3/s2/pad1 convs on even, large spatial maps with C < 128 (the
+    small-C layout pathology). DEFAULT OFF: the full 2-D s2d measured 12.5
+    vs 5.7 ms/iter standalone on chip (2026-08-20) — the height-phase
+    transpose of the input dominates, the same failure mode as the ResNet
+    stem s2d variants (README negative-result section). Kept as an exact,
+    tested opt-in (POET_YOLO_S2D=1) for future layout experiments."""
+    return (os.environ.get("POET_YOLO_S2D", "0") == "1"
+            and size == 3 and stride == 2 and pad == 1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and x.shape[3] < 128)
+
+
 class DarknetBody(nn.Module):
     """Executes the darknet graph; returns (yolo_inputs, yolo_specs, feature_maps).
 
@@ -87,11 +156,17 @@ class DarknetBody(nn.Module):
                 pad = (size // 2) if int(sec.get("pad", 0)) else int(sec.get("padding", 0))
                 bn = int(sec.get("batch_normalize", 0))
                 act = sec.get("activation", "linear")
-                y = nn.Conv(
-                    filters, (size, size), strides=(stride, stride),
-                    padding=[(pad, pad), (pad, pad)], use_bias=not bn,
-                    dtype=self.dtype, name=f"conv_{li}",
-                )(x)
+                if _use_s2d(size, stride, pad, x):
+                    y = _Stride2ConvS2D(
+                        filters, use_bias=not bn, dtype=self.dtype,
+                        name=f"conv_{li}",
+                    )(x)
+                else:
+                    y = nn.Conv(
+                        filters, (size, size), strides=(stride, stride),
+                        padding=[(pad, pad), (pad, pad)], use_bias=not bn,
+                        dtype=self.dtype, name=f"conv_{li}",
+                    )(x)
                 if bn:
                     y = FrozenBatchNorm(filters, name=f"bn_{li}")(y)
                 if act == "mish":

@@ -102,8 +102,17 @@ def _prep(value, spatial_shapes, sampling_locations, attention_weights):
 
     Returns (vT_levels, xb, yb, ab, Q_pad) with
       vT_levels[l]: (B, H, Hl*D, Wl)  sublane index y*D + d, lane x,
-      xb, yb:       (B, L, H, P, Q_pad) f32 pixel coords (pad queries = -1e4),
-      ab:           (B, L, H, P, Q_pad) f32 attention weights.
+      xb, yb:       (B, H, L, P, Q_pad) f32 pixel coords (pad queries = -1e4),
+      ab:           (B, H, L, P, Q_pad) f32 attention weights.
+
+    Layout strategy (r4): ONE Q-minor relayout of loc/attn each, then the
+    per-level scaling as cheap fused elementwise ops in the TARGET layout.
+    The previous order (scale in (B, Q, H, L, P), then a 6-D transpose)
+    made XLA write the full coord tensors through a P=4-lane strided layout
+    — ~9.5 ms/iter of the YOLO detect+pose profile, most of the kernel's
+    non-kernel overhead. The coord layout's L/H axis order follows the
+    natural (B, Q, (H, L, P, 2)) feature order so no further permute is
+    needed; the kernels index [0, h, lvl] accordingly.
     """
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -117,24 +126,26 @@ def _prep(value, spatial_shapes, sampling_locations, attention_weights):
         vT_levels.append(v.transpose(0, 3, 1, 4, 2).reshape(B, H, Hl * D, Wl))
 
     Q_pad = ((Q + _QT - 1) // _QT) * _QT
-    loc = sampling_locations.astype(_F32)
-    attn = attention_weights.astype(_F32)
-    if Q_pad != Q:
-        pad = Q_pad - Q
-        loc = jnp.pad(loc, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)),
-                      constant_values=-10.0)
-        attn = jnp.pad(attn, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+    locT = (sampling_locations.astype(_F32)
+            .reshape(B, Q, H * L * P * 2).transpose(0, 2, 1)
+            .reshape(B, H, L, P, 2, Q))
+    attnT = (attention_weights.astype(_F32)
+             .reshape(B, Q, H * L * P).transpose(0, 2, 1)
+             .reshape(B, H, L, P, Q))
 
     # per-level Python-scalar scaling (NOT a jnp.array constant: closed-over
     # array consts break custom_partitioning's trace, which requires a
-    # const-free jaxpr). (B, Q, H, L, P) -> (B, L, H, P, Q).
-    x = jnp.stack([loc[..., lvl, :, 0] * float(w) - 0.5
-                   for lvl, (_, w) in enumerate(spatial_shapes)], axis=3)
-    y = jnp.stack([loc[..., lvl, :, 1] * float(h) - 0.5
-                   for lvl, (h, _) in enumerate(spatial_shapes)], axis=3)
-    xb = x.transpose(0, 3, 2, 4, 1)
-    yb = y.transpose(0, 3, 2, 4, 1)
-    ab = attn.transpose(0, 3, 2, 4, 1)
+    # const-free jaxpr)
+    xb = jnp.stack([locT[:, :, lvl, :, 0] * float(w) - 0.5
+                    for lvl, (_, w) in enumerate(spatial_shapes)], axis=2)
+    yb = jnp.stack([locT[:, :, lvl, :, 1] * float(h) - 0.5
+                    for lvl, (h, _) in enumerate(spatial_shapes)], axis=2)
+    ab = attnT
+    if Q_pad != Q:
+        pad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, Q_pad - Q))
+        xb = jnp.pad(xb, pad, constant_values=-1e4)
+        yb = jnp.pad(yb, pad, constant_values=-1e4)
+        ab = jnp.pad(ab, pad)
     return vT_levels, xb, yb, ab, Q_pad
 
 
@@ -211,9 +222,9 @@ def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
     def head_body(h, _):
         acc = jnp.zeros((D, Qt), _F32)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, lvl, h]                        # (P, Qt) f32
-            y = yb_ref[0, lvl, h]
-            a = ab_ref[0, lvl, h]
+            x = xb_ref[0, h, lvl]                        # (P, Qt) f32
+            y = yb_ref[0, h, lvl]
+            a = ab_ref[0, h, lvl]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
             P = x.shape[0]
             ops = [_interp_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
@@ -268,7 +279,7 @@ def ms_deform_attn_pallas_v3(
 
     grid = (B, H // Hg, n_qt)
     coord_spec = pl.BlockSpec(
-        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
         memory_space=pltpu.VMEM)
     v_specs = [
         pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
@@ -332,9 +343,9 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
         do = do_ref[0, h]                                # (D, Qt) f32
         do_g = do.astype(dg_dtype)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, lvl, h]
-            y = yb_ref[0, lvl, h]
-            a = ab_ref[0, lvl, h]
+            x = xb_ref[0, h, lvl]
+            y = yb_ref[0, h, lvl]
+            a = ab_ref[0, h, lvl]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
             P = x.shape[0]
             Qt = x.shape[1]
@@ -378,10 +389,10 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
                 # E[y, q] = sum_d gT * dout  (per-y dot with the cotangent)
                 E = jnp.sum(gT * do[None, :, :], axis=1)        # (Hl, Qt)
                 Ex = jnp.sum(dgxT * do[None, :, :], axis=1)     # (Hl, Qt)
-                da_ref[0, lvl, h, p] = jnp.sum(wyT * E, axis=0)
-                dty_ref[0, lvl, h, p] = (a[p : p + 1] *
+                da_ref[0, h, lvl, p] = jnp.sum(wyT * E, axis=0)
+                dty_ref[0, h, lvl, p] = (a[p : p + 1] *
                                          jnp.sum(dwyT * E, axis=0))[0]
-                dtx_ref[0, lvl, h, p] = jnp.sum(ayT * Ex, axis=0)
+                dtx_ref[0, h, lvl, p] = jnp.sum(ayT * Ex, axis=0)
         return 0
 
     # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
@@ -405,9 +416,9 @@ def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
     for h in range(H):
         do = do_ref[0, h]                                # (D, Qt) f32
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, lvl, h]
-            y = yb_ref[0, lvl, h]
-            a = ab_ref[0, lvl, h]
+            x = xb_ref[0, h, lvl]
+            y = yb_ref[0, h, lvl]
+            a = ab_ref[0, h, lvl]
             P = x.shape[0]
             Qt = x.shape[1]
             ops = [_interp_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
@@ -445,9 +456,9 @@ def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
     for h in range(H):
         do = do_ref[0, h]                                # (D, Qt)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, lvl, h]
-            y = yb_ref[0, lvl, h]
-            a = ab_ref[0, lvl, h]
+            x = xb_ref[0, h, lvl]
+            y = yb_ref[0, h, lvl]
+            a = ab_ref[0, h, lvl]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
             P = x.shape[0]
             Qt = x.shape[1]
@@ -466,10 +477,10 @@ def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
                     Hl, D, Qt)
                 E = jnp.sum(gT * do[None, :, :], axis=1)        # (Hl, Qt)
                 Ex = jnp.sum(dgxT * do[None, :, :], axis=1)     # (Hl, Qt)
-                da_ref[0, lvl, h, p] = jnp.sum(wyT * E, axis=0)
-                dty_ref[0, lvl, h, p] = (a[p : p + 1] *
+                da_ref[0, h, lvl, p] = jnp.sum(wyT * E, axis=0)
+                dty_ref[0, h, lvl, p] = (a[p : p + 1] *
                                          jnp.sum(dwyT * E, axis=0))[0]
-                dtx_ref[0, lvl, h, p] = jnp.sum(ayT * Ex, axis=0)
+                dtx_ref[0, h, lvl, p] = jnp.sum(ayT * Ex, axis=0)
 
 
 def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
@@ -503,7 +514,7 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     def mk_specs(Hg):
         grid = (B, H // Hg, n_qt)
         coord_spec = pl.BlockSpec(
-            (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+            (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
             memory_space=pltpu.VMEM)
         do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                                memory_space=pltpu.VMEM)
@@ -542,7 +553,7 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     Hg_l = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
     grid, coord_spec, do_spec, v_specs = mk_specs(Hg_l)
     grad_spec = pl.BlockSpec(
-        (1, L, Hg_l, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        (1, Hg_l, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
         memory_space=pltpu.VMEM)
     dtx, dty, da = pl.pallas_call(
         functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
@@ -551,13 +562,13 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
         in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
         out_specs=[grad_spec, grad_spec, grad_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, H, P, Q_pad), _F32)
+            jax.ShapeDtypeStruct((B, H, L, P, Q_pad), _F32)
             for _ in range(3)
         ],
     )(xb, yb, ab, do, *vT_levels)
 
     def back(t):
-        return t.transpose(0, 4, 2, 1, 3)[:, :Q]
+        return t.transpose(0, 4, 1, 2, 3)[:, :Q]
     dtx_b, dty_b = back(dtx), back(dty)
     d_loc = jnp.stack(
         [jnp.stack([dtx_b[..., lvl, :] * float(w)
@@ -606,7 +617,7 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
 
     grid = (B, H // Hg, n_qt)
     coord_spec = pl.BlockSpec(
-        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
         memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                            memory_space=pltpu.VMEM)
@@ -618,7 +629,7 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
 
     # --- fused adjoint: d_value + d_loc + d_attn in one kernel ---
     grad_spec = pl.BlockSpec(
-        (1, L, Hg, P, _QT), lambda b, g, q: (b, 0, g, 0, q),
+        (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
         memory_space=pltpu.VMEM)
     ymix_bf16 = (dtype == jnp.bfloat16
                  and os.environ.get("POET_V3_YMIX_BF16", "0") == "1")
@@ -637,7 +648,7 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
         out_shape=[
             *[jax.ShapeDtypeStruct((B, H, Hl * D, Wl), dtype)
               for Hl, Wl in spatial_shapes],
-            *[jax.ShapeDtypeStruct((B, L, H, P, Q_pad), _F32)
+            *[jax.ShapeDtypeStruct((B, H, L, P, Q_pad), _F32)
               for _ in range(3)],
         ],
         scratch_shapes=[
@@ -655,10 +666,10 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
             .reshape(B, Hl * Wl, H, D))
     d_value = jnp.concatenate(d_value_parts, axis=1)
 
-    # (B, L, H, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5.
+    # (B, H, L, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5.
     # Per-level Python-scalar scaling (array consts break custom_partitioning).
     def back(t):
-        return t.transpose(0, 4, 2, 1, 3)[:, :Q]
+        return t.transpose(0, 4, 1, 2, 3)[:, :Q]
     dtx_b, dty_b = back(dtx), back(dty)
     d_loc = jnp.stack(
         [jnp.stack([dtx_b[..., lvl, :] * float(w)

@@ -130,18 +130,24 @@ def _kernel(*refs, L, out_size, s, rx_levels, Cp, dt):
 
 
 def _repool_boxes_pointwise(features, strides, boxes_w, output_size,
-                            sampling_ratio, canonical_scale, canonical_level):
+                            sampling_ratio, canonical_scale, canonical_level,
+                            levels=None):
     """Exact torchvision pooling of a SMALL (B, Kw) box set via direct
     4-corner point gathers -> (B, Kw, out, out, C).
 
     The x-window violators are at most `wide_capacity` boxes per image, so
     re-pooling them through the full slab machinery (one flat table of
     every level row, ~10 ms/iter of pad/copy/relayout fusions in the r4
-    detect+pose profile) is absurd: 16 boxes need ~50k gathered corner
-    points. Each level gathers corners for ALL wide boxes (indices clipped
-    into that level) and a level-equality mask selects the assigned level's
-    contribution — 4x redundant arithmetic on a tiny set instead of a
-    408480-row table build."""
+    detect+pose profile) is absurd: a handful of boxes needs a few thousand
+    gathered corner points. Each listed level gathers corners for ALL wide
+    boxes (indices clipped into that level) and a level-equality mask
+    selects the assigned level's contribution.
+
+    `levels` restricts the gather to the listed feature indices — callers
+    re-pooling x-window violators pass only the VIOLABLE levels (those
+    wider than their window; a violator is by definition assigned to one).
+    Boxes assigned to unlisted levels come back as zeros and must be
+    masked out by the caller."""
     from poet_tpu.ops import detection as det
 
     B, Kw = boxes_w.shape[:2]
@@ -166,6 +172,8 @@ def _repool_boxes_pointwise(features, strides, boxes_w, output_size,
 
     acc = jnp.zeros((B, Kw, N, N, C), jnp.float32)
     for li, f in enumerate(features):
+        if levels is not None and li not in levels:
+            continue
         H, W = shapes[li]
         yl = jnp.clip(ylo, 0, H - 2).reshape(B, Kw, N)
         xl = jnp.clip(xlo, 0, W - 2).reshape(B, Kw, N)
@@ -197,7 +205,7 @@ def multiscale_roi_align_pallas(
     sampling_ratio: int = 2,
     canonical_scale: int = 224,
     canonical_level: int = 4,
-    wide_capacity: int = 16,
+    wide_capacity: int = 4,
     interpret: bool = False,
     padded_output: bool = False,
 ) -> jnp.ndarray:
@@ -343,21 +351,35 @@ def multiscale_roi_align_pallas(
     W0 = max(w_ for _, w_ in shapes)
     if wide_capacity > 0 and W0 > _RX_MAX - 8:
         Kw = min(wide_capacity, R)
+        # only levels wider than their x-window can host a violator
+        violable = [li for li, (_, w_) in enumerate(shapes)
+                    if w_ > rx_levels[li] - 8]
         over_im = over.reshape(B, R)
         order = jnp.argsort(-over_im, axis=1)                  # (B, R)
+        over_sorted = jnp.take_along_axis(over_im, order, axis=1)
         n_wide_max = jnp.max(jnp.sum(over_im > 0, axis=1))
         n_chunks = (n_wide_max + Kw - 1) // Kw
         bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
         order_pad = jnp.pad(order, ((0, 0), (0, Kw)))          # chunk overrun
+        over_pad = jnp.pad(over_sorted, ((0, 0), (0, Kw)))
 
         def chunk_body(carry):
             i, acc = carry
             wide_i = jax.lax.dynamic_slice_in_dim(order_pad, i * Kw, Kw, axis=1)
+            wide_over = jax.lax.dynamic_slice_in_dim(over_pad, i * Kw, Kw,
+                                                     axis=1)   # (B, Kw)
             wide_boxes = jnp.take_along_axis(boxes, wide_i[..., None], axis=1)
             out_w = _repool_boxes_pointwise(
                 features, strides, wide_boxes, output_size, sampling_ratio,
-                canonical_scale, canonical_level)              # (B, Kw, o, o, C)
-            return i + 1, acc.at[bidx, wide_i].set(pad_block(out_w))
+                canonical_scale, canonical_level,
+                levels=violable)                               # (B, Kw, o, o, C)
+            # only true violators are overwritten: chunk padding (and boxes
+            # on non-violable levels, which the restricted gather returns as
+            # zeros) keep their in-kernel values
+            keep = acc[bidx, wide_i]
+            vals = jnp.where((wide_over > 0)[..., None, None, None],
+                             pad_block(out_w), keep)
+            return i + 1, acc.at[bidx, wide_i].set(vals)
 
         out = jax.lax.while_loop(
             lambda c: c[0] < n_chunks, chunk_body, (jnp.int32(0), out))[1]

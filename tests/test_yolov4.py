@@ -396,3 +396,22 @@ def test_yolov4_default_cfg_fallback(rng):
     model = build_model(cfg)
     secs = [dict(s) for s in model.backbone.cfg_sections]
     assert sum(1 for s in secs if s["type"] == "yolo") == 3
+
+
+def test_s2d_stride2_conv_matches_plain(rng, monkeypatch):
+    """The space-to-depth rewrite of 3x3/s2 convs (small-C layout fix) must
+    be numerically equivalent to the plain conv graph on the SAME params —
+    darknet .weights import and checkpoints are layout-unchanged."""
+    sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+
+    monkeypatch.setenv("POET_YOLO_S2D", "0")
+    body = DarknetBody(sections)
+    params = body.init(jax.random.PRNGKey(0), x)
+    yolo_plain, _, feats_plain = body.apply(params, x)
+
+    monkeypatch.setenv("POET_YOLO_S2D", "1")
+    yolo_s2d, _, feats_s2d = DarknetBody(sections).apply(params, x)
+
+    for a, b in zip(yolo_plain + feats_plain, yolo_s2d + feats_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
