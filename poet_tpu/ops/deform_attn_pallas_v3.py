@@ -100,19 +100,21 @@ def _pick_head_group(H, D, spatial_shapes, bytes_per_elem,
 def _prep(value, spatial_shapes, sampling_locations, attention_weights):
     """Host-side (XLA) layout prep shared by fwd and bwd.
 
-    Returns (vT_levels, xb, yb, ab, Q_pad) with
-      vT_levels[l]: (B, H, Hl*D, Wl)  sublane index y*D + d, lane x,
-      xb, yb:       (B, H, L, P, Q_pad) f32 pixel coords (pad queries = -1e4),
-      ab:           (B, H, L, P, Q_pad) f32 attention weights.
+    Returns (vT_levels, locT, attnT, Q_pad) with
+      vT_levels[l]: (B, H, Hl*D, Wl)   sublane index y*D + d, lane x,
+      locT:         (B, H*L*P*2, Q_pad) f32 NORMALIZED locations, row order
+                    (h, l, p, coord) — the raw feature order of the
+                    sampling-offsets projection (pad queries = -10),
+      attnT:        (B, H*L*P, Q_pad)  f32 attention weights.
 
-    Layout strategy (r4): ONE Q-minor relayout of loc/attn each, then the
-    per-level scaling as cheap fused elementwise ops in the TARGET layout.
-    The previous order (scale in (B, Q, H, L, P), then a 6-D transpose)
-    made XLA write the full coord tensors through a P=4-lane strided layout
-    — ~9.5 ms/iter of the YOLO detect+pose profile, most of the kernel's
-    non-kernel overhead. The coord layout's L/H axis order follows the
-    natural (B, Q, (H, L, P, 2)) feature order so no further permute is
-    needed; the kernels index [0, h, lvl] accordingly.
+    Layout strategy (r4): the coords reach the kernel as ONE true Q-minor
+    relayout each (pad on the cheap major Q axis first); the per-level
+    pixel scaling (loc*W_l - 0.5) happens IN-KERNEL on (1, Qt) tiles —
+    2 VPU ops per row read, free. Every earlier variant that materialized
+    per-level scaled (…, Q) coord tensors in XLA paid ~10 ms/iter of
+    strided-layout writes at YOLO scale (S=6380), whichever axis order the
+    stack used — there is no good XLA-side layout for a 5-D tensor with
+    three tiny middle axes; a flat (B, F, Q) matrix sidesteps it.
     """
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -126,27 +128,16 @@ def _prep(value, spatial_shapes, sampling_locations, attention_weights):
         vT_levels.append(v.transpose(0, 3, 1, 4, 2).reshape(B, H, Hl * D, Wl))
 
     Q_pad = ((Q + _QT - 1) // _QT) * _QT
-    locT = (sampling_locations.astype(_F32)
-            .reshape(B, Q, H * L * P * 2).transpose(0, 2, 1)
-            .reshape(B, H, L, P, 2, Q))
-    attnT = (attention_weights.astype(_F32)
-             .reshape(B, Q, H * L * P).transpose(0, 2, 1)
-             .reshape(B, H, L, P, Q))
-
-    # per-level Python-scalar scaling (NOT a jnp.array constant: closed-over
-    # array consts break custom_partitioning's trace, which requires a
-    # const-free jaxpr)
-    xb = jnp.stack([locT[:, :, lvl, :, 0] * float(w) - 0.5
-                    for lvl, (_, w) in enumerate(spatial_shapes)], axis=2)
-    yb = jnp.stack([locT[:, :, lvl, :, 1] * float(h) - 0.5
-                    for lvl, (h, _) in enumerate(spatial_shapes)], axis=2)
-    ab = attnT
+    loc2 = sampling_locations.astype(_F32).reshape(B, Q, H * L * P * 2)
+    attn2 = attention_weights.astype(_F32).reshape(B, Q, H * L * P)
     if Q_pad != Q:
-        pad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, Q_pad - Q))
-        xb = jnp.pad(xb, pad, constant_values=-1e4)
-        yb = jnp.pad(yb, pad, constant_values=-1e4)
-        ab = jnp.pad(ab, pad)
-    return vT_levels, xb, yb, ab, Q_pad
+        qpad = ((0, 0), (0, Q_pad - Q), (0, 0))
+        # -10 normalized location scales to -10*W - 0.5: matches nothing
+        loc2 = jnp.pad(loc2, qpad, constant_values=-10.0)
+        attn2 = jnp.pad(attn2, qpad)
+    locT = loc2.transpose(0, 2, 1)          # (B, H*L*P*2, Q_pad)
+    attnT = attn2.transpose(0, 2, 1)        # (B, H*L*P,   Q_pad)
+    return vT_levels, locT, attnT, Q_pad
 
 
 def _corner_ops(x_p, y_p, a_p, Hl, Wl, Qt):
@@ -205,7 +196,23 @@ def _interp_ops(x_p, y_p, a_p, Hl, Wl, Qt):
     return bxT, ayT
 
 
-def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
+def _coord_rows(loc_ref, attn_ref, h, lvl, P, spatial_shapes):
+    """Per-point (1, Qt) pixel coords + attention weight from the flat
+    (F, Qt) coordinate blocks; the level scaling happens here (Python-float
+    constants, 2 VPU ops per row)."""
+    L = len(spatial_shapes)
+    Hl, Wl = spatial_shapes[lvl]
+    out = []
+    for p in range(P):
+        row = ((h * L + lvl) * P + p) * 2
+        x = loc_ref[0, row : row + 1] * float(Wl) - 0.5
+        y = loc_ref[0, row + 1 : row + 2] * float(Hl) - 0.5
+        a = attn_ref[0, row // 2 : row // 2 + 1]
+        out.append((x, y, a))
+    return out
+
+
+def _fwd_kernel(loc_ref, attn_ref, *rest, spatial_shapes, H, D, dtype,
                 ymix_bf16):
     vT_refs = rest[:-1]
     out_ref = rest[-1]
@@ -219,16 +226,14 @@ def _fwd_kernel(xb_ref, yb_ref, ab_ref, *rest, spatial_shapes, H, D, dtype,
     # tile shapes, so f32 is the default. Kept as a documented experiment.
     g_dtype = jnp.bfloat16 if ymix_bf16 else _F32
 
+    P = loc_ref.shape[1] // (len(spatial_shapes) * H * 2)
+
     def head_body(h, _):
         acc = jnp.zeros((D, Qt), _F32)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, h, lvl]                        # (P, Qt) f32
-            y = yb_ref[0, h, lvl]
-            a = ab_ref[0, h, lvl]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
-            P = x.shape[0]
-            ops = [_interp_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
-                               Hl, Wl, Qt) for p in range(P)]
+            pts = _coord_rows(loc_ref, attn_ref, h, lvl, P, spatial_shapes)
+            ops = [_interp_ops(x, y, a, Hl, Wl, Qt) for x, y, a in pts]
             # one (Hl*D, Wl) @ (Wl, P*Qt) dot for all points: the lane
             # concat is 128-aligned (Qt = 128), and N = P*Qt amortizes the
             # MXU pipeline fill that four N=Qt dots pay separately.
@@ -272,14 +277,17 @@ def ms_deform_attn_pallas_v3(
     _, Q, _, L, P, _ = sampling_locations.shape
     assert sum(h * w for h, w in spatial_shapes) == S
 
-    vT_levels, xb, yb, ab, Q_pad = _prep(
+    vT_levels, locT, attnT, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
     Hg = _pick_head_group(H, D, spatial_shapes, value.dtype.itemsize)
 
     grid = (B, H // Hg, n_qt)
-    coord_spec = pl.BlockSpec(
-        (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
+    loc_spec = pl.BlockSpec(
+        (1, Hg * L * P * 2, _QT), lambda b, g, q: (b, g, q),
+        memory_space=pltpu.VMEM)
+    attn_spec = pl.BlockSpec(
+        (1, Hg * L * P, _QT), lambda b, g, q: (b, g, q),
         memory_space=pltpu.VMEM)
     v_specs = [
         pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
@@ -293,11 +301,11 @@ def ms_deform_attn_pallas_v3(
                           H=Hg, D=D, dtype=value.dtype,
                           ymix_bf16=ymix_bf16),
         grid=grid,
-        in_specs=[coord_spec, coord_spec, coord_spec, *v_specs],
+        in_specs=[loc_spec, attn_spec, *v_specs],
         out_specs=pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), _F32),
-    )(xb, yb, ab, *vT_levels)
+    )(locT, attnT, *vT_levels)
 
     out = out.transpose(0, 3, 1, 2)[:, :Q]               # (B, Q, H, D)
     return out.reshape(B, Q, H * D).astype(value.dtype)
@@ -308,7 +316,7 @@ def ms_deform_attn_pallas_v3(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
+def _bwd_kernel(loc_ref, attn_ref, do_ref, *rest,
                 spatial_shapes, H, D, dtype, n_qt, ymix_bf16):
     """Fused adjoint: d_value, d_loc (pixel-space d_tx/d_ty) and d_attn in
     ONE kernel. Merging the former separate d_value / d_loc kernels shares
@@ -330,9 +338,11 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
     L = len(spatial_shapes)
     vT_refs = rest[:L]
     dv_refs = rest[L : 2 * L]
-    dtx_ref, dty_ref, da_ref = rest[2 * L : 2 * L + 3]
-    dv_accs = rest[2 * L + 3 : 3 * L + 3]     # f32 VMEM scratch per level
+    dloc_ref, da_ref = rest[2 * L : 2 * L + 2]
+    dv_accs = rest[2 * L + 2 : 3 * L + 2]     # f32 VMEM scratch per level
     q_idx = pl.program_id(2)
+    P = loc_ref.shape[1] // (L * H * 2)
+    Qt = do_ref.shape[-1]
 
     # packed-bf16 dg construction: same trick as the forward's y-mix (the
     # ay row-operator has two nonzero rows, so bf16 products lose one
@@ -343,14 +353,9 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
         do = do_ref[0, h]                                # (D, Qt) f32
         do_g = do.astype(dg_dtype)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, h, lvl]
-            y = yb_ref[0, h, lvl]
-            a = ab_ref[0, h, lvl]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
-            P = x.shape[0]
-            Qt = x.shape[1]
-            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
-                               Hl, Wl, Qt) for p in range(P)]
+            pts = _coord_rows(loc_ref, attn_ref, h, lvl, P, spatial_shapes)
+            ops = [_corner_ops(x, y, a, Hl, Wl, Qt) for x, y, a in pts]
             # one dot for all points' gT AND dgxT: lane-concat the bx and
             # difference operators into (Wl, 2*P*Qt).
             bx_cat = jnp.concatenate(
@@ -380,19 +385,22 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
             def _emit():
                 dv_refs[lvl][0, h] = dv_accs[lvl][h].astype(dv_refs[lvl].dtype)
 
-            # ---- d_loc / d_attn (per q tile) ----
+            # ---- d_loc / d_attn (per q tile; d_loc carries the loc->pixel
+            # chain rule *W_l / *H_l so the wrapper needs no per-level pass)
             for p in range(P):
                 _, _, ayT, wyT, dwyT = ops[p]
+                a = pts[p][2]
+                row = ((h * L + lvl) * P + p) * 2
                 gT = g_cat[:, p * Qt : (p + 1) * Qt].reshape(Hl, D, Qt)
                 dgxT = g_cat[:, (P + p) * Qt : (P + p + 1) * Qt].reshape(
                     Hl, D, Qt)
                 # E[y, q] = sum_d gT * dout  (per-y dot with the cotangent)
                 E = jnp.sum(gT * do[None, :, :], axis=1)        # (Hl, Qt)
                 Ex = jnp.sum(dgxT * do[None, :, :], axis=1)     # (Hl, Qt)
-                da_ref[0, h, lvl, p] = jnp.sum(wyT * E, axis=0)
-                dty_ref[0, h, lvl, p] = (a[p : p + 1] *
-                                         jnp.sum(dwyT * E, axis=0))[0]
-                dtx_ref[0, h, lvl, p] = jnp.sum(ayT * Ex, axis=0)
+                da_ref[0, row // 2] = jnp.sum(wyT * E, axis=0)
+                dloc_ref[0, row + 1] = (a * jnp.sum(dwyT * E, axis=0)
+                                        )[0] * float(Hl)
+                dloc_ref[0, row] = jnp.sum(ayT * Ex, axis=0) * float(Wl)
         return 0
 
     # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
@@ -401,7 +409,7 @@ def _bwd_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
         head_body(h, 0)
 
 
-def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
+def _bwd_dval_kernel(loc_ref, attn_ref, do_ref, *dv_refs,
                      spatial_shapes, H, D, dtype):
     """Two-kernel adjoint, kernel 1 — d_value per level.
 
@@ -412,17 +420,15 @@ def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
     footprint is one output block + coords — head groups stay large.
     """
     q_idx = pl.program_id(2)
+    L = len(spatial_shapes)
+    P = loc_ref.shape[1] // (L * H * 2)
+    Qt = do_ref.shape[-1]
 
     for h in range(H):
         do = do_ref[0, h]                                # (D, Qt) f32
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, h, lvl]
-            y = yb_ref[0, h, lvl]
-            a = ab_ref[0, h, lvl]
-            P = x.shape[0]
-            Qt = x.shape[1]
-            ops = [_interp_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
-                               Hl, Wl, Qt) for p in range(P)]
+            pts = _coord_rows(loc_ref, attn_ref, h, lvl, P, spatial_shapes)
+            ops = [_interp_ops(x, y, a, Hl, Wl, Qt) for x, y, a in pts]
             dg_all = jnp.concatenate(
                 [(o[1][:, None, :] * do[None, :, :]).reshape(Hl * D, Qt)
                  for o in ops], axis=1)                  # (Hl*D, P*Qt)
@@ -439,7 +445,7 @@ def _bwd_dval_kernel(xb_ref, yb_ref, ab_ref, do_ref, *dv_refs,
                 dv_refs[lvl][0, h] += acc
 
 
-def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
+def _bwd_dloc_kernel(loc_ref, attn_ref, do_ref, *rest,
                      spatial_shapes, H, D, dtype):
     """Two-kernel adjoint, kernel 2 — d_loc (pixel-space) + d_attn.
 
@@ -451,19 +457,16 @@ def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
     """
     L = len(spatial_shapes)
     vT_refs = rest[:L]
-    dtx_ref, dty_ref, da_ref = rest[L], rest[L + 1], rest[L + 2]
+    dloc_ref, da_ref = rest[L], rest[L + 1]
+    P = loc_ref.shape[1] // (L * H * 2)
+    Qt = do_ref.shape[-1]
 
     for h in range(H):
         do = do_ref[0, h]                                # (D, Qt)
         for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-            x = xb_ref[0, h, lvl]
-            y = yb_ref[0, h, lvl]
-            a = ab_ref[0, h, lvl]
             vT = vT_refs[lvl][0, h]                      # (Hl*D, Wl)
-            P = x.shape[0]
-            Qt = x.shape[1]
-            ops = [_corner_ops(x[p : p + 1], y[p : p + 1], a[p : p + 1],
-                               Hl, Wl, Qt) for p in range(P)]
+            pts = _coord_rows(loc_ref, attn_ref, h, lvl, P, spatial_shapes)
+            ops = [_corner_ops(x, y, a, Hl, Wl, Qt) for x, y, a in pts]
             # one dot for all points' gT AND dgxT: lane-concat the bx and
             # difference operators into (Wl, 2*P*Qt).
             bx_cat = jnp.concatenate(
@@ -472,15 +475,17 @@ def _bwd_dloc_kernel(xb_ref, yb_ref, ab_ref, do_ref, *rest,
                          (((1,), (0,)), ((), ())), dtype)  # (Hl*D, 2*P*Qt)
             for p in range(P):
                 _, _, ayT, wyT, dwyT = ops[p]
+                a = pts[p][2]
+                row = ((h * L + lvl) * P + p) * 2
                 gT = g_cat[:, p * Qt : (p + 1) * Qt].reshape(Hl, D, Qt)
                 dgxT = g_cat[:, (P + p) * Qt : (P + p + 1) * Qt].reshape(
                     Hl, D, Qt)
                 E = jnp.sum(gT * do[None, :, :], axis=1)        # (Hl, Qt)
                 Ex = jnp.sum(dgxT * do[None, :, :], axis=1)     # (Hl, Qt)
-                da_ref[0, h, lvl, p] = jnp.sum(wyT * E, axis=0)
-                dty_ref[0, h, lvl, p] = (a[p : p + 1] *
-                                         jnp.sum(dwyT * E, axis=0))[0]
-                dtx_ref[0, h, lvl, p] = jnp.sum(ayT * Ex, axis=0)
+                da_ref[0, row // 2] = jnp.sum(wyT * E, axis=0)
+                dloc_ref[0, row + 1] = (a * jnp.sum(dwyT * E, axis=0)
+                                        )[0] * float(Hl)
+                dloc_ref[0, row] = jnp.sum(ayT * Ex, axis=0) * float(Wl)
 
 
 def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
@@ -498,7 +503,7 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     _, Q, _, L, P, _ = sampling_locations.shape
     dtype = value.dtype
 
-    vT_levels, xb, yb, ab, Q_pad = _prep(
+    vT_levels, locT, attnT, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
 
@@ -513,8 +518,11 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     # d_loc holds only vT (itemsize).
     def mk_specs(Hg):
         grid = (B, H // Hg, n_qt)
-        coord_spec = pl.BlockSpec(
-            (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
+        loc_spec = pl.BlockSpec(
+            (1, Hg * L * P * 2, _QT), lambda b, g, q: (b, g, q),
+            memory_space=pltpu.VMEM)
+        attn_spec = pl.BlockSpec(
+            (1, Hg * L * P, _QT), lambda b, g, q: (b, g, q),
             memory_space=pltpu.VMEM)
         do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                                memory_space=pltpu.VMEM)
@@ -523,15 +531,15 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
                          memory_space=pltpu.VMEM)
             for Hl, Wl in spatial_shapes
         ]
-        return grid, coord_spec, do_spec, v_specs
+        return grid, loc_spec, attn_spec, do_spec, v_specs
 
     Hg_v = _pick_head_group(H, D, spatial_shapes, 4)
-    grid, coord_spec, do_spec, _ = mk_specs(Hg_v)
+    grid, loc_spec, attn_spec, do_spec, _ = mk_specs(Hg_v)
     dv_levels = pl.pallas_call(
         functools.partial(_bwd_dval_kernel, spatial_shapes=spatial_shapes,
                           H=Hg_v, D=D, dtype=dtype),
         grid=grid,
-        in_specs=[coord_spec, coord_spec, coord_spec, do_spec],
+        in_specs=[loc_spec, attn_spec, do_spec],
         out_specs=[
             pl.BlockSpec((1, Hg_v, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -541,7 +549,7 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
             jax.ShapeDtypeStruct((B, H, Hl * D, Wl), _F32)
             for Hl, Wl in spatial_shapes
         ],
-    )(xb, yb, ab, do)
+    )(locT, attnT, do)
 
     d_value_parts = []
     for (Hl, Wl), dv in zip(spatial_shapes, dv_levels):
@@ -551,32 +559,29 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     d_value = jnp.concatenate(d_value_parts, axis=1).astype(dtype)
 
     Hg_l = _pick_head_group(H, D, spatial_shapes, dtype.itemsize)
-    grid, coord_spec, do_spec, v_specs = mk_specs(Hg_l)
-    grad_spec = pl.BlockSpec(
-        (1, Hg_l, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
+    grid, loc_spec, attn_spec, do_spec, v_specs = mk_specs(Hg_l)
+    dloc_spec = pl.BlockSpec(
+        (1, Hg_l * L * P * 2, _QT), lambda b, g, q: (b, g, q),
         memory_space=pltpu.VMEM)
-    dtx, dty, da = pl.pallas_call(
+    dattn_spec = pl.BlockSpec(
+        (1, Hg_l * L * P, _QT), lambda b, g, q: (b, g, q),
+        memory_space=pltpu.VMEM)
+    dlocT, daT = pl.pallas_call(
         functools.partial(_bwd_dloc_kernel, spatial_shapes=spatial_shapes,
                           H=Hg_l, D=D, dtype=dtype),
         grid=grid,
-        in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
-        out_specs=[grad_spec, grad_spec, grad_spec],
+        in_specs=[loc_spec, attn_spec, do_spec, *v_specs],
+        out_specs=[dloc_spec, dattn_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, L, P, Q_pad), _F32)
-            for _ in range(3)
+            jax.ShapeDtypeStruct((B, H * L * P * 2, Q_pad), _F32),
+            jax.ShapeDtypeStruct((B, H * L * P, Q_pad), _F32),
         ],
-    )(xb, yb, ab, do, *vT_levels)
+    )(locT, attnT, do, *vT_levels)
 
-    def back(t):
-        return t.transpose(0, 4, 1, 2, 3)[:, :Q]
-    dtx_b, dty_b = back(dtx), back(dty)
-    d_loc = jnp.stack(
-        [jnp.stack([dtx_b[..., lvl, :] * float(w)
-                    for lvl, (_, w) in enumerate(spatial_shapes)], axis=3),
-         jnp.stack([dty_b[..., lvl, :] * float(h)
-                    for lvl, (h, _) in enumerate(spatial_shapes)], axis=3)],
-        axis=-1)
-    d_attn = back(da)
+    # single relayouts back to the public (B, Q, H, L, P[, 2]) shapes; the
+    # loc->pixel chain rule was applied in-kernel
+    d_loc = dlocT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P, 2)
+    d_attn = daT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P)
     return (d_value,
             d_loc.astype(sampling_locations.dtype),
             d_attn.astype(attention_weights.dtype))
@@ -603,7 +608,7 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
     _, Q, _, L, P, _ = sampling_locations.shape
     dtype = value.dtype
 
-    vT_levels, xb, yb, ab, Q_pad = _prep(
+    vT_levels, locT, attnT, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
     n_qt = Q_pad // _QT
     # vT block + d_value output block (itemsize each) + f32 scratch are all
@@ -616,8 +621,11 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
         do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
 
     grid = (B, H // Hg, n_qt)
-    coord_spec = pl.BlockSpec(
-        (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
+    loc_spec = pl.BlockSpec(
+        (1, Hg * L * P * 2, _QT), lambda b, g, q: (b, g, q),
+        memory_space=pltpu.VMEM)
+    attn_spec = pl.BlockSpec(
+        (1, Hg * L * P, _QT), lambda b, g, q: (b, g, q),
         memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                            memory_space=pltpu.VMEM)
@@ -628,9 +636,6 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
     ]
 
     # --- fused adjoint: d_value + d_loc + d_attn in one kernel ---
-    grad_spec = pl.BlockSpec(
-        (1, Hg, L, P, _QT), lambda b, g, q: (b, g, 0, 0, q),
-        memory_space=pltpu.VMEM)
     ymix_bf16 = (dtype == jnp.bfloat16
                  and os.environ.get("POET_V3_YMIX_BF16", "0") == "1")
     outs = pl.pallas_call(
@@ -638,25 +643,25 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
                           H=Hg, D=D, dtype=dtype, n_qt=n_qt,
                           ymix_bf16=ymix_bf16),
         grid=grid,
-        in_specs=[coord_spec, coord_spec, coord_spec, do_spec, *v_specs],
+        in_specs=[loc_spec, attn_spec, do_spec, *v_specs],
         out_specs=[
             *[pl.BlockSpec((1, Hg, Hl * D, Wl), lambda b, g, q: (b, g, 0, 0),
                            memory_space=pltpu.VMEM)
               for Hl, Wl in spatial_shapes],
-            grad_spec, grad_spec, grad_spec,
+            loc_spec, attn_spec,
         ],
         out_shape=[
             *[jax.ShapeDtypeStruct((B, H, Hl * D, Wl), dtype)
               for Hl, Wl in spatial_shapes],
-            *[jax.ShapeDtypeStruct((B, H, L, P, Q_pad), _F32)
-              for _ in range(3)],
+            jax.ShapeDtypeStruct((B, H * L * P * 2, Q_pad), _F32),
+            jax.ShapeDtypeStruct((B, H * L * P, Q_pad), _F32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Hg, Hl * D, Wl), _F32) for Hl, Wl in spatial_shapes
         ],
-    )(xb, yb, ab, do, *vT_levels)
+    )(locT, attnT, do, *vT_levels)
     dv_levels = outs[:L]
-    dtx, dty, da = outs[L], outs[L + 1], outs[L + 2]
+    dlocT, daT = outs[L], outs[L + 1]
 
     # undo the vT layout: (B, H, Hl*D, Wl) -> (B, Hl*Wl, H, D)
     d_value_parts = []
@@ -666,18 +671,10 @@ def _v3_bwd_impl_merged(value, sampling_locations, attention_weights, dout,
             .reshape(B, Hl * Wl, H, D))
     d_value = jnp.concatenate(d_value_parts, axis=1)
 
-    # (B, H, L, P, Q_pad) -> (B, Q, H, L, P); chain rule x = loc_x*Wl - 0.5.
-    # Per-level Python-scalar scaling (array consts break custom_partitioning).
-    def back(t):
-        return t.transpose(0, 4, 1, 2, 3)[:, :Q]
-    dtx_b, dty_b = back(dtx), back(dty)
-    d_loc = jnp.stack(
-        [jnp.stack([dtx_b[..., lvl, :] * float(w)
-                    for lvl, (_, w) in enumerate(spatial_shapes)], axis=3),
-         jnp.stack([dty_b[..., lvl, :] * float(h)
-                    for lvl, (h, _) in enumerate(spatial_shapes)], axis=3)],
-        axis=-1)
-    d_attn = back(da)
+    # single relayouts back to the public (B, Q, H, L, P[, 2]) shapes; the
+    # loc->pixel chain rule was applied in-kernel
+    d_loc = dlocT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P, 2)
+    d_attn = daT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P)
     return (d_value,
             d_loc.astype(sampling_locations.dtype),
             d_attn.astype(attention_weights.dtype))
