@@ -124,12 +124,17 @@ class ModelConfig:
     # 6 ms/layer vs 19 ms 'mxu' at bs=16; runs identically on every backend)
     # | 'mxu' | 'patch' | 'gather' | 'pallas' | 'sep_cv'
     enc_deform_impl: str = "auto"
-    # decoder cross-attention sampling core. 'auto' = 'mxu' (one-hot
-    # matmuls): at Q = num_queries (~10) it beat the fused Pallas kernel in
-    # the on-chip flagship A/B (27.59 vs 28.71 ms/batch, 2026-08-19) — the
+    # decoder cross-attention sampling core. 'auto' resolves by MEMORY
+    # length at trace time (models/transformer.py:resolve_dec_impl): 'mxu'
+    # (one-hot matmuls) below ~4k tokens — at the rcnn pyramid (S=1600,
+    # Q = num_queries ~10) it beat the fused Pallas kernel in the on-chip
+    # flagship A/B (27.59 vs 28.71 ms/batch, 2026-08-19) because the
     # kernel's per-layer vT layout transposes of the full encoder memory
-    # dwarf its compute win when only one 128-lane query tile exists.
-    # Selectable for A/Bs and future geometries.
+    # dwarf its compute win at one 128-lane query tile — and 'fused' on a
+    # TPU at/above it (the one-hot compare domain is O(S) per query while
+    # the kernel's cost is dominated by the same O(S) vT staging it already
+    # pays; at YOLO scale S=6380 the one-hot matmuls cost 3.3 ms/iter).
+    # Explicit values win for A/Bs and future geometries.
     dec_deform_impl: str = "auto"
     # Rematerialize encoder layers in the backward pass: 'auto' | 'on' | 'off'.
     # 'auto' remats for the one-hot/XLA formulations (their autodiff residuals
@@ -152,11 +157,10 @@ class ModelConfig:
         return "fused" if _default_backend_is_tpu() else "sep"
 
     def resolved_dec_deform_impl(self) -> str:
-        """'auto' -> 'mxu' on every backend (won the on-chip A/B vs 'fused'
-        at Q = num_queries; see the field comment)."""
-        if self.dec_deform_impl != "auto":
-            return self.dec_deform_impl
-        return "mxu"
+        """'auto' passes through: the decoder impl depends on the MEMORY
+        length, which only the transformer knows (it is resolved per trace
+        in models/transformer.py:resolve_dec_impl; see the field comment)."""
+        return self.dec_deform_impl
 
     def enc_remat_enabled(self) -> bool:
         if self.enc_remat == "auto":

@@ -40,14 +40,24 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5  # torchvision FrozenBatchNorm2d default
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.running_mean = self.param(
+            "running_mean", nn.initializers.zeros, (self.features,))
+        self.running_var = self.param(
+            "running_var", nn.initializers.ones, (self.features,))
+
+    def scale_offset(self):
+        """The affine fold (inv, off) in f32 — consumers that fuse the BN
+        into a preceding conv's weights (the Pallas stem) read this
+        instead of applying __call__."""
+        inv = self.weight * jax.lax.rsqrt(self.running_var + self.eps)
+        off = self.bias - self.running_mean * inv
+        return inv, off
+
     def __call__(self, x):
-        scale = self.param("weight", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
-        var = self.param("running_var", nn.initializers.ones, (self.features,))
-        inv = scale * jax.lax.rsqrt(var + self.eps)
-        off = bias - mean * inv
+        inv, off = self.scale_offset()
         return x * inv.astype(x.dtype) + off.astype(x.dtype)
 
 
@@ -88,18 +98,58 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StemConvParam(nn.Module):
+    """Param-holder matching nn.Conv's tree (<name>/kernel) so checkpoints
+    port identically whichever stem implementation runs."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.he_normal(), self.shape)
+
+
+def resolve_stem_impl(stem_impl: str) -> str:
+    """'auto' -> the fused Pallas stem on a TPU backend, XLA elsewhere.
+
+    The 7x7/stride-2 3-channel stem conv is the one conv XLA lowers badly
+    on TPU (1.75 ms/batch at bs=16 against ~0.3 ms of useful work; every
+    reshape-based s2d rewrite re-inserts layout copies — README negative
+    result). ops/conv_stem_pallas.py owns the data movement instead."""
+    if stem_impl != "auto":
+        return stem_impl
+    from poet_tpu.config import _default_backend_is_tpu
+
+    return "pallas" if _default_backend_is_tpu() else "xla"
+
+
 class ResNet50(nn.Module):
     """Returns C2..C5 feature maps (strides 4, 8, 16, 32)."""
 
     dtype: jnp.dtype = jnp.float32
+    # 'auto' | 'xla' | 'pallas': implementation of the 7x7/2 stem conv
+    # (+ frozen BN + relu, fused in the pallas path). Same params either way.
+    stem_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
-        x = nn.relu(x)
+        stem = resolve_stem_impl(self.stem_impl)
+        if stem.startswith("pallas"):       # 'pallas' | 'pallas_interpret'
+            from poet_tpu.ops.conv_stem_pallas import conv_stem_pallas
+
+            kernel = _StemConvParam((7, 7, 3, 64), name="conv1")()
+            inv, off = FrozenBatchNorm(64, name="bn1").scale_offset()
+            # fold the frozen BN affine into the conv: w' = w * inv, b' = off
+            x = conv_stem_pallas(
+                x, (kernel * inv.astype(kernel.dtype)).astype(self.dtype),
+                off, stride=2, padding=((3, 3), (3, 3)), activation="relu",
+                interpret=stem == "pallas_interpret")
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(64, name="bn1")(x)
+            x = nn.relu(x)
         # torch maxpool(3, stride 2, padding 1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -254,6 +254,29 @@ def compute_valid_ratios(masks: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.stack(ratios, axis=1)
 
 
+# Memory length at/above which 'auto' decoder cross-attention picks the
+# fused Pallas kernel over the one-hot matmuls on a TPU backend. The mxu
+# one-hot compare domain is O(S) per (query, head, point) — 3.3 ms/iter at
+# the YOLO full pyramid (S=6380) — while the fused kernel's decoder cost is
+# dominated by vT staging it pays at any Q. The rcnn pyramid (S=1600) stays
+# 'mxu' (won the 2026-08-19 on-chip A/B, 27.59 vs 28.71 ms/batch).
+DEC_FUSED_MIN_S = 4000
+
+
+def resolve_dec_impl(dec_impl: str, total_tokens: int) -> str:
+    """Resolve the decoder cross-attn sampling core for a given memory
+    length (static at trace time). Explicit values pass through; 'auto'
+    picks 'fused' only on a TPU backend at large S (the fused kernel is a
+    TPU Mosaic kernel; every other backend keeps the portable one-hots)."""
+    if dec_impl != "auto":
+        return dec_impl
+    from poet_tpu.config import _default_backend_is_tpu
+
+    if total_tokens >= DEC_FUSED_MIN_S and _default_backend_is_tpu():
+        return "fused"
+    return "mxu"
+
+
 class DeformableTransformer(nn.Module):
     """Parity: models/deformable_transformer.py:27-166.
 
@@ -276,11 +299,13 @@ class DeformableTransformer(nn.Module):
     # Sampling-core implementation for the ENCODER's deformable self-attention
     # (the hot path, Q = S tokens): 'mxu' | 'patch' | 'gather' | 'pallas'.
     enc_impl: str = "mxu"
-    # Sampling core for the decoder's cross-attention (Q = num_queries ~10).
+    # Sampling core for the decoder's cross-attention (Q = num_queries ~10):
+    # 'auto' resolves per memory length at trace time (resolve_dec_impl).
     # 'mxu' (one-hot matmuls) won the on-chip A/B vs the fused Pallas kernel
-    # (27.59 vs 28.71 ms/batch flagship): at one query tile the kernel's
-    # per-layer vT transposes of the full memory outweigh its compute win.
-    dec_impl: str = "mxu"
+    # at S=1600 (27.59 vs 28.71 ms/batch flagship): at one query tile the
+    # kernel's per-layer vT transposes of the full memory outweigh its
+    # compute win. At S >= DEC_FUSED_MIN_S the O(S) one-hots lose instead.
+    dec_impl: str = "auto"
     # Rematerialize ENCODER layers in the backward pass. Without this, the
     # backward residuals of the sampling core (Q = S tokens per layer) blow
     # HBM: a bs=16 training step was measured needing 64 GB. With remat the
@@ -360,6 +385,8 @@ class DeformableTransformer(nn.Module):
         # ---- decoder with stacked intermediates (never rematerialized; see
         # the `remat` field note)
         dec_layer_cls = DecoderLayer
+        dec_impl = resolve_dec_impl(
+            self.dec_impl, sum(h * w for h, w in spatial_shapes))
         intermediates = []
         output = tgt
         for i in range(self.num_decoder_layers):
@@ -367,7 +394,7 @@ class DeformableTransformer(nn.Module):
             ref_input = ref[:, :, None, :] * valid_ratios[:, None, :, :]
             output = dec_layer_cls(
                 C, self.dim_feedforward, self.num_feature_levels, self.nhead,
-                self.dec_n_points, self.dropout, self.dtype, self.dec_impl,
+                self.dec_n_points, self.dropout, self.dtype, dec_impl,
                 name=f"decoder_layer_{i}",
             )(output, qe, ref_input, memory, spatial_shapes, mask_flat, deterministic)
             intermediates.append(output)

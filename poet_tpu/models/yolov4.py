@@ -37,8 +37,22 @@ from poet_tpu.ops.detection import batched_class_nms, nms_padded
 
 
 def mish(x):
-    """Mish activation (x * tanh(softplus(x))) — replaces mish-cuda (N2)."""
-    return x * jnp.tanh(jax.nn.softplus(x))
+    """Mish activation (x * tanh(softplus(x))) — replaces mish-cuda (N2).
+
+    Computed via the exact algebraic rewrite
+        tanh(log1p(e^x)) = 1 - 2 / ((1 + e^x)^2 + 1)
+    — one exp + one divide instead of three transcendental passes
+    (exp, log1p, tanh). Matches the textbook form to 2e-6 abs in f32
+    (`tests/test_yolov4.py::test_mish_fast_rewrite`). This matters on TPU:
+    mish runs on the VPU over the largest feature maps in the network (the
+    stride-1/2 CSP stem sees 480x640x32 per image), where transcendental
+    issue rate — not HBM — was the measured cost. x is clamped at 25
+    before the exp (tanh(softplus(25)) == 1 in f32) so both the value and
+    the autodiff gradient stay finite at any input."""
+    xs = jnp.minimum(x, 25.0)
+    e = jnp.exp(xs)
+    t = 1.0 - 2.0 / ((1.0 + e) * (1.0 + e) + 1.0)
+    return jnp.where(x > 25.0, x, x * t)
 
 
 def parse_darknet_cfg(text: str) -> List[Dict[str, Any]]:
@@ -115,6 +129,47 @@ class _Stride2ConvS2D(nn.Module):
         return y
 
 
+class _ConvParams(nn.Module):
+    """Param holder matching nn.Conv's tree (<name>/kernel [+ /bias]) so
+    darknet .weights import and checkpoints are identical whichever conv
+    implementation runs."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.shape[-1],)) if self.use_bias else None)
+        return k, b
+
+
+def _use_pallas_stem(size, stride, pad, act, x):
+    """Early small-C convs (the CSP entry: 3x3/1 3->32, 3x3/2 32->64 at
+    full resolution) go through the fused Pallas phase-split conv
+    (ops/conv_stem_pallas.py) on a TPU backend: XLA lowers them at up to
+    ~25x their roofline (the same small-C stem pathology as the ResNet 7x7
+    — see that module's docstring). C <= 32 covers exactly the pathological
+    layers; everything deeper has full lanes and stays with XLA. Opt-out
+    with POET_YOLO_STEM=0 for A/Bs; POET_YOLO_STEM=interpret forces the
+    path in Pallas interpret mode on any backend (CPU wiring tests)."""
+    mode = os.environ.get("POET_YOLO_STEM", "1")
+    if mode == "0":
+        return False
+    from poet_tpu.config import _default_backend_is_tpu
+
+    if mode != "interpret" and not _default_backend_is_tpu():
+        return False
+    shape_ok = (size in (1, 3, 5, 7) and stride in (1, 2)
+                and pad == size // 2
+                and x.shape[3] <= 32
+                and act in ("mish", "leaky", "linear"))
+    if mode == "interpret":
+        return shape_ok
+    return shape_ok and x.shape[1] * x.shape[2] >= 128 * 128
+
+
 def _use_s2d(size, stride, pad, x):
     """3x3/s2/pad1 convs on even, large spatial maps with C < 128 (the
     small-C layout pathology). DEFAULT OFF: the full 2-D s2d measured 12.5
@@ -156,6 +211,27 @@ class DarknetBody(nn.Module):
                 pad = (size // 2) if int(sec.get("pad", 0)) else int(sec.get("padding", 0))
                 bn = int(sec.get("batch_normalize", 0))
                 act = sec.get("activation", "linear")
+                if _use_pallas_stem(size, stride, pad, act, x):
+                    from poet_tpu.ops.conv_stem_pallas import conv_stem_pallas
+
+                    k, b = _ConvParams(
+                        (size, size, x.shape[3], filters), use_bias=not bn,
+                        name=f"conv_{li}")()
+                    if bn:
+                        inv, off = FrozenBatchNorm(
+                            filters, name=f"bn_{li}").scale_offset()
+                        k = k * inv.astype(k.dtype)
+                        b = off if b is None else b + off
+                    y = conv_stem_pallas(
+                        x, k.astype(self.dtype), b,
+                        stride=stride, padding=((pad, pad), (pad, pad)),
+                        activation=None if act == "linear" else act,
+                        interpret=os.environ.get(
+                            "POET_YOLO_STEM") == "interpret")
+                    x = y
+                    outputs.append(x)
+                    li += 1
+                    continue
                 if _use_s2d(size, stride, pad, x):
                     y = _Stride2ConvS2D(
                         filters, use_bias=not bn, dtype=self.dtype,

@@ -323,16 +323,33 @@ def test_enc_deform_impl_auto_resolution(monkeypatch):
 
 
 def test_dec_deform_impl_resolution():
-    """Decoder cross-attn 'auto' -> 'mxu' (won the on-chip A/B vs 'fused'
-    at Q = num_queries: 27.59 vs 28.71 ms/batch on the bs=16 flagship)."""
+    """Decoder cross-attn 'auto' resolves by memory length at trace time:
+    'mxu' below DEC_FUSED_MIN_S (won the on-chip A/B vs 'fused' at S=1600:
+    27.59 vs 28.71 ms/batch on the bs=16 flagship), 'fused' at/above it on
+    a TPU backend only (this test runs on CPU, so large S stays 'mxu')."""
     from poet_tpu.config import PoETConfig
+    from poet_tpu.models.transformer import DEC_FUSED_MIN_S, resolve_dec_impl
 
     cfg = PoETConfig()
     assert cfg.model.dec_deform_impl == "auto"
-    assert cfg.model.resolved_dec_deform_impl() == "mxu"
+    assert cfg.model.resolved_dec_deform_impl() == "auto"   # deferred
+
+    assert resolve_dec_impl("auto", 1600) == "mxu"          # rcnn pyramid
+    # on CPU the TPU-only fused kernel is never auto-selected
+    assert resolve_dec_impl("auto", DEC_FUSED_MIN_S + 1000) == "mxu"
+    import poet_tpu.config as config_mod
+
+    orig = config_mod._default_backend_is_tpu
+    config_mod._default_backend_is_tpu = lambda: True
+    try:
+        assert resolve_dec_impl("auto", 6380) == "fused"    # YOLO pyramid
+        assert resolve_dec_impl("auto", 1600) == "mxu"
+    finally:
+        config_mod._default_backend_is_tpu = orig
 
     cfg.model.dec_deform_impl = "fused"         # explicit choice wins
     assert cfg.model.resolved_dec_deform_impl() == "fused"
+    assert resolve_dec_impl("fused", 100) == "fused"
 
 
 def test_enc_remat_gradients_match():

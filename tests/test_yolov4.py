@@ -132,6 +132,25 @@ def test_mish():
     np.testing.assert_allclose(out, expected, atol=1e-6)
 
 
+def test_mish_fast_rewrite():
+    """The one-exp rewrite matches x*tanh(softplus(x)) over a wide range,
+    stays exact (== x or == 0) at the extremes, and its autodiff gradient
+    is finite everywhere (the clamp guard keeps exp out of overflow)."""
+    x = jnp.linspace(-80.0, 80.0, 20001)
+    out = np.asarray(mish(x))
+    xn = np.asarray(x, np.float64)
+    expected = np.where(xn > 30, xn, xn * np.tanh(np.log1p(np.exp(np.minimum(xn, 30)))))
+    np.testing.assert_allclose(out, expected, atol=5e-6)
+    g = np.asarray(jax.vmap(jax.grad(mish))(x))
+    assert np.all(np.isfinite(g))
+    # grad matches the textbook formulation away from the clamp
+    g_ref = np.asarray(
+        jax.vmap(jax.grad(lambda v: v * jnp.tanh(jax.nn.softplus(v))))(
+            jnp.clip(x, -30.0, 20.0)))
+    mask = np.abs(xn) < 20
+    np.testing.assert_allclose(g[mask], g_ref[mask], atol=5e-6)
+
+
 def test_darknet_body_shapes(rng):
     sections = tuple(tuple(sorted(s.items())) for s in parse_darknet_cfg(MINI_CFG))
     body = DarknetBody(sections)
