@@ -115,7 +115,13 @@ def resolve_stem_impl(stem_impl: str) -> str:
     The 7x7/stride-2 3-channel stem conv is the one conv XLA lowers badly
     on TPU (1.75 ms/batch at bs=16 against ~0.3 ms of useful work; every
     reshape-based s2d rewrite re-inserts layout copies — README negative
-    result). ops/conv_stem_pallas.py owns the data movement instead."""
+    result). ops/conv_stem_pallas.py owns the data movement instead.
+    POET_STEM_IMPL overrides everything (on-chip A/Bs)."""
+    import os
+
+    env = os.environ.get("POET_STEM_IMPL")
+    if env:
+        return env
     if stem_impl != "auto":
         return stem_impl
     from poet_tpu.config import _default_backend_is_tpu

@@ -88,7 +88,9 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
 
         loss_fn = make_loss_fn(model, cfg)
         g = jax.value_and_grad(loss_fn, has_aux=True)
-        rng = jax.random.PRNGKey(0)
+        # rbg dropout keys: the config bench.py reports (threefry spends
+        # ~10 ms/step of VPU on mask generation; see bench_train_step_img_s)
+        rng = jax.random.key(0, impl="rbg")
 
         @jax.jit
         def f(params, images):
