@@ -50,6 +50,7 @@ gradient). Differentiating through this op raises at trace time.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -58,7 +59,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _RX_MAX = 64      # max x-window (feature px); multiple of 8
-_CB = 8           # boxes per grid step
+# boxes per grid step. More boxes per program amortize the per-program
+# entry/exit overhead of the (B, R/CB) grid (at R=1000, CB=8 means 2000
+# program activations per batch); the only cost is a bigger output block
+# (CB * Mo * Mo * Cp * itemsize VMEM). Env-tunable for on-chip A/Bs.
+_CB = int(os.environ.get("POET_ROI_CB", "8"))
 
 
 def _ceil8(x: int) -> int:
