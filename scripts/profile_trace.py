@@ -157,6 +157,34 @@ def report(trace_dir: str, iters: int, top: int = 20):
             for cat, dur in agg.most_common(top):
                 print(f"{dur / 1e9:10.2f} {cnt[cat]:7d}  {cat}")
 
+            # floor-analysis buckets: how much of the step is irreducible
+            # work (Pallas kernels, matmul/conv fusions, elementwise HBM
+            # traffic) vs pure layout overhead (copies/converts/pads/
+            # reshapes) vs control (sorts, while loops). The overhead
+            # bucket is the harvestable part; the rest bounds the floor.
+            buckets = {
+                "pallas/custom-call": ("self", "detector", "custom-call",
+                                       "deform", "roi"),
+                "layout overhead": ("copy", "convert", "pad", "reshape",
+                                    "transpose", "bitcast", "copy-done",
+                                    "slice-done", "broadcast", "slice",
+                                    "concatenate"),
+                "control/sort": ("sort", "while", "select-and-scatter",
+                                 "dynamic-update-slice", "dynamic-slice",
+                                 "gather", "scatter"),
+            }
+            bagg = collections.Counter()
+            for cat, dur in agg.items():
+                for bname, keys in buckets.items():
+                    if cat in keys:
+                        bagg[bname] += dur
+                        break
+                else:
+                    bagg["compute (fusion/conv/elementwise)"] += dur
+            print("\nfloor buckets (exclusive ms | % of step):")
+            for bname, dur in bagg.most_common():
+                print(f"{dur / 1e9:10.2f} {100 * dur / total:5.1f}%  {bname}")
+
             # unnamed fusions by output shape (where the real compute hides)
             shapes = collections.Counter()
             scnt = collections.Counter()
