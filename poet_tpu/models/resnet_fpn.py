@@ -115,7 +115,10 @@ def resolve_stem_impl(stem_impl: str) -> str:
     The 7x7/stride-2 3-channel stem conv is the one conv XLA lowers badly
     on TPU (1.75 ms/batch at bs=16 against ~0.3 ms of useful work; every
     reshape-based s2d rewrite re-inserts layout copies — README negative
-    result). ops/conv_stem_pallas.py owns the data movement instead.
+    result). ops/conv_stem_pallas.py owns the data movement; its r4
+    on-chip state is "exact but not yet faster" (bf16 A/B 2.66 vs XLA's
+    in-model cost; the im2col tap moves are VPU-scatter-bound), so 'auto'
+    stays on the XLA conv until the kernel wins its A/B.
     POET_STEM_IMPL overrides everything (on-chip A/Bs)."""
     import os
 
@@ -124,9 +127,7 @@ def resolve_stem_impl(stem_impl: str) -> str:
         return env
     if stem_impl != "auto":
         return stem_impl
-    from poet_tpu.config import _default_backend_is_tpu
-
-    return "pallas" if _default_backend_is_tpu() else "xla"
+    return "xla"
 
 
 class ResNet50(nn.Module):

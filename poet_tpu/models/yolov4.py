@@ -151,10 +151,12 @@ def _use_pallas_stem(size, stride, pad, act, x):
     (ops/conv_stem_pallas.py) on a TPU backend: XLA lowers them at up to
     ~25x their roofline (the same small-C stem pathology as the ResNet 7x7
     — see that module's docstring). C <= 32 covers exactly the pathological
-    layers; everything deeper has full lanes and stays with XLA. Opt-out
-    with POET_YOLO_STEM=0 for A/Bs; POET_YOLO_STEM=interpret forces the
-    path in Pallas interpret mode on any backend (CPU wiring tests)."""
-    mode = os.environ.get("POET_YOLO_STEM", "1")
+    layers; everything deeper has full lanes and stays with XLA.
+    DEFAULT OFF (r4 on-chip state: the kernel is exact but its im2col tap
+    moves are VPU-scatter-bound and lose to XLA in bf16) — opt-in with
+    POET_YOLO_STEM=1 for A/Bs; POET_YOLO_STEM=interpret forces the path in
+    Pallas interpret mode on any backend (CPU wiring tests)."""
+    mode = os.environ.get("POET_YOLO_STEM", "0")
     if mode == "0":
         return False
     from poet_tpu.config import _default_backend_is_tpu

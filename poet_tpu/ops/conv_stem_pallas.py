@@ -131,10 +131,16 @@ def _conv_stem_impl(x, w, bias, stride, padding, activation, out_dtype,
     staged = xp.reshape(B, H2, s, W2, s, C).transpose(0, 1, 2, 4, 5, 3)
     staged = staged.reshape(B, H2, QP, W2)
     staged = staged[:, :H3, :, :W3]
-    if H2 < H3 or W2 < W3:
+    # plane dim padded to the sublane tile (8) and plane width to the lane
+    # tile (128): the per-tile DMA copies full extents of dims 2/3, and
+    # Mosaic requires sliced/partial extents tile-aligned
+    QPp = -(-QP // 8) * 8
+    W3p = -(-W3 // 128) * 128
+    h_now, w_now = staged.shape[1], staged.shape[3]
+    if h_now < H3 or w_now < W3p or QPp > QP:
         staged = jnp.pad(
-            staged, ((0, 0), (0, max(0, H3 - H2)), (0, 0),
-                     (0, max(0, W3 - W2))))
+            staged, ((0, 0), (0, H3 - h_now), (0, QPp - QP),
+                     (0, W3p - w_now)))
 
     taps = []
     for ky in range(kh):
@@ -166,7 +172,7 @@ def _conv_stem_impl(x, w, bias, stride, padding, activation, out_dtype,
         out_specs=vmem((1, _RT, Wo, F), lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, NT * _RT, Wo, F), out_dt),
         scratch_shapes=[
-            pltpu.VMEM((RTA, QP, W3), dt),                      # staged tile
+            pltpu.VMEM((RTA, QPp, W3p), dt),                    # staged tile
             pltpu.VMEM((_RT, Kp, Wo), dt),                      # im2col block
             pltpu.SemaphoreType.DMA,
         ],
