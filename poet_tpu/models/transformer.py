@@ -16,7 +16,7 @@ Parity notes cite reference lines.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,12 @@ from poet_tpu.ops.deform_attn import (
     ms_deform_attn_xla,
 )
 from poet_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
-from poet_tpu.ops.deform_attn_pallas_v3 import ms_deform_attn_fused
+from poet_tpu.ops.deform_attn_pallas_v3 import (
+    _QT,
+    _in_mesh_context,
+    ms_deform_attn_fused,
+    ms_deform_attn_fused_t,
+)
 
 
 def _grid_init_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
@@ -49,6 +54,25 @@ def _grid_init_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
     for i in range(n_points):
         grid[:, :, i, :] *= i + 1
     return grid.reshape(-1).astype(np.float32)
+
+
+class _ProjParams(nn.Module):
+    """Param holder matching nn.Dense's tree (<name>/{kernel, bias}) so the
+    transposed-native fused path (which applies the projection through a
+    layout-choosing einsum instead of nn.Dense) keeps checkpoints
+    identical."""
+
+    features: int
+    kernel_init: Any = None
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", self.kernel_init or nn.initializers.zeros,
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", self.bias_init or nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
 
 
 class MSDeformAttn(nn.Module):
@@ -86,6 +110,55 @@ class MSDeformAttn(nn.Module):
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, H, head_dim)
+
+        if self.impl == "fused" and not _in_mesh_context():
+            # Transposed-native path: the offsets/attention projections are
+            # emitted directly in the kernel's flat (B, F, Q_pad) layout by
+            # einsums that CHOOSE the transposed output — the ~1.3 ms/layer
+            # locT/attnT staging transposes _prep pays at YOLO scale
+            # (S=6380) never exist, in the forward or in the backward
+            # (whose residuals are now the staged tensors). Param trees are
+            # identical to the nn.Dense path (_ProjParams). Mesh contexts
+            # fall back to the legacy entry, whose custom_partitioning
+            # rules are the tested dp x sp x tp path.
+            Q_pad = -(-Q // _QT) * _QT
+            qp = (jnp.pad(query, ((0, 0), (0, Q_pad - Q), (0, 0)))
+                  if Q_pad != Q else query)
+            wk_off, b_off = _ProjParams(
+                H * L * P * 2,
+                bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                    _grid_init_bias(H, L, P), dtype),
+                name="sampling_offsets")(C)
+            wk_att, b_att = _ProjParams(
+                H * L * P, name="attention_weights")(C)
+            offsetsT = (jnp.einsum("cf,bqc->bfq", wk_off,
+                                   qp.astype(jnp.float32))
+                        + b_off[None, :, None])           # (B, F2, Q_pad)
+            logitsT = (jnp.einsum("cf,bqc->bfq", wk_att,
+                                  qp.astype(jnp.float32))
+                       + b_att[None, :, None])            # (B, F1, Q_pad)
+            attnT = jax.nn.softmax(
+                logitsT.reshape(B, H, L * P, Q_pad), axis=2
+            ).reshape(B, H * L * P, Q_pad)
+
+            # locT rows (h, l, p, coord): ref[l, coord] + offsets/wh[l, coord]
+            rows = np.arange(H * L * P * 2)
+            l_of = (rows // 2 // P) % L
+            coord_of = rows % 2
+            whs = np.asarray([[w, h] for (h, w) in spatial_shapes],
+                             np.float32)                  # (L, 2) = (W, H)
+            inv_rows = jnp.asarray(1.0 / whs[l_of, coord_of])
+            refT = reference_points.astype(jnp.float32).transpose(0, 2, 3, 1)
+            refT = refT.reshape(B, L * 2, Q)
+            if Q_pad != Q:
+                refT = jnp.pad(refT, ((0, 0), (0, 0), (0, Q_pad - Q)))
+            ref_rows = jnp.take(refT, jnp.asarray(l_of * 2 + coord_of),
+                                axis=1)                   # (B, F2, Q_pad)
+            locT = ref_rows + offsetsT * inv_rows[None, :, None]
+            out = ms_deform_attn_fused_t(
+                value, tuple(spatial_shapes), locT, attnT)[:, :Q]
+            return nn.Dense(self.d_model, name="output_proj",
+                            dtype=self.dtype)(out)
 
         offsets = nn.Dense(
             H * L * P * 2,

@@ -97,6 +97,18 @@ def _pick_head_group(H, D, spatial_shapes, bytes_per_elem,
     return 1
 
 
+def _prep_value(value, spatial_shapes):
+    """value (B, S, H, D) -> per-level vT (B, H, Hl*D, Wl), sublane y*D+d."""
+    B, S, H, D = value.shape
+    vT_levels = []
+    start = 0
+    for Hl, Wl in spatial_shapes:
+        v = value[:, start : start + Hl * Wl].reshape(B, Hl, Wl, H, D)
+        start += Hl * Wl
+        vT_levels.append(v.transpose(0, 3, 1, 4, 2).reshape(B, H, Hl * D, Wl))
+    return vT_levels
+
+
 def _prep(value, spatial_shapes, sampling_locations, attention_weights):
     """Host-side (XLA) layout prep shared by fwd and bwd.
 
@@ -119,13 +131,7 @@ def _prep(value, spatial_shapes, sampling_locations, attention_weights):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
 
-    vT_levels = []
-    start = 0
-    for Hl, Wl in spatial_shapes:
-        v = value[:, start : start + Hl * Wl].reshape(B, Hl, Wl, H, D)
-        start += Hl * Wl
-        # (B, H, Hl, D, Wl) -> (B, H, Hl*D, Wl)
-        vT_levels.append(v.transpose(0, 3, 1, 4, 2).reshape(B, H, Hl * D, Wl))
+    vT_levels = _prep_value(value, spatial_shapes)
 
     Q_pad = ((Q + _QT - 1) // _QT) * _QT
     loc2 = sampling_locations.astype(_F32).reshape(B, Q, H * L * P * 2)
@@ -279,8 +285,24 @@ def ms_deform_attn_pallas_v3(
 
     vT_levels, locT, attnT, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
+    out = _fwd_core(vT_levels, locT, attnT, spatial_shapes,
+                    value.dtype)                         # (B, H, D, Q_pad)
+    out = out.transpose(0, 3, 1, 2)[:, :Q]               # (B, Q, H, D)
+    return out.reshape(B, Q, H * D).astype(value.dtype)
+
+
+def _fwd_core(vT_levels, locT, attnT, spatial_shapes, dtype):
+    """The forward pallas_call on already-staged operands.
+
+    vT_levels per (B, H, Hl*D, Wl); locT (B, H*L*P*2, Q_pad) f32 raw
+    normalized; attnT (B, H*L*P, Q_pad) f32 -> (B, H, D, Q_pad) f32."""
+    B, H = vT_levels[0].shape[:2]
+    D = vT_levels[0].shape[2] // spatial_shapes[0][0]
+    L = len(spatial_shapes)
+    P = attnT.shape[1] // (H * L)
+    Q_pad = locT.shape[2]
     n_qt = Q_pad // _QT
-    Hg = _pick_head_group(H, D, spatial_shapes, value.dtype.itemsize)
+    Hg = _pick_head_group(H, D, spatial_shapes, jnp.dtype(dtype).itemsize)
 
     grid = (B, H // Hg, n_qt)
     loc_spec = pl.BlockSpec(
@@ -294,11 +316,11 @@ def ms_deform_attn_pallas_v3(
                      memory_space=pltpu.VMEM)
         for Hl, Wl in spatial_shapes
     ]
-    ymix_bf16 = (value.dtype == jnp.bfloat16
+    ymix_bf16 = (dtype == jnp.bfloat16
                  and os.environ.get("POET_V3_YMIX_BF16", "0") == "1")
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
-                          H=Hg, D=D, dtype=value.dtype,
+                          H=Hg, D=D, dtype=dtype,
                           ymix_bf16=ymix_bf16),
         grid=grid,
         in_specs=[loc_spec, attn_spec, *v_specs],
@@ -306,9 +328,6 @@ def ms_deform_attn_pallas_v3(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), _F32),
     )(locT, attnT, *vT_levels)
-
-    out = out.transpose(0, 3, 1, 2)[:, :Q]               # (B, Q, H, D)
-    return out.reshape(B, Q, H * D).astype(value.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -501,15 +520,35 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    dtype = value.dtype
 
     vT_levels, locT, attnT, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
-    n_qt = Q_pad // _QT
 
     do = dout.reshape(B, Q, H, D).astype(_F32).transpose(0, 2, 3, 1)
     if Q_pad != Q:
         do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
+
+    d_value, dlocT, daT = _bwd_twokernel_core(
+        value, vT_levels, locT, attnT, do, spatial_shapes)
+    # single relayouts back to the public (B, Q, H, L, P[, 2]) shapes; the
+    # loc->pixel chain rule was applied in-kernel
+    d_loc = dlocT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P, 2)
+    d_attn = daT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P)
+    return (d_value,
+            d_loc.astype(sampling_locations.dtype),
+            d_attn.astype(attention_weights.dtype))
+
+
+def _bwd_twokernel_core(value, vT_levels, locT, attnT, do, spatial_shapes):
+    """Two-kernel adjoint on staged operands; do is (B, H, D, Q_pad) f32.
+    Returns (d_value (B, S, H, D), dlocT, daT) with dlocT/daT in the flat
+    (B, F, Q_pad) f32 layout (pixel chain rule folded in-kernel)."""
+    B, S, H, D = value.shape
+    L = len(spatial_shapes)
+    P = attnT.shape[1] // (H * L)
+    Q_pad = locT.shape[2]
+    dtype = value.dtype
+    n_qt = Q_pad // _QT
 
     # The two kernels keep DIFFERENT value-shaped buffers resident and are
     # budgeted separately (ADVICE r2): d_value holds only its f32 output
@@ -578,13 +617,7 @@ def _v3_bwd_impl_twokernel(value, sampling_locations, attention_weights,
         ],
     )(locT, attnT, do, *vT_levels)
 
-    # single relayouts back to the public (B, Q, H, L, P[, 2]) shapes; the
-    # loc->pixel chain rule was applied in-kernel
-    d_loc = dlocT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P, 2)
-    d_attn = daT.transpose(0, 2, 1)[:, :Q].reshape(B, Q, H, L, P)
-    return (d_value,
-            d_loc.astype(sampling_locations.dtype),
-            d_attn.astype(attention_weights.dtype))
+    return d_value, dlocT, daT
 
 
 def _v3_bwd_impl(value, sampling_locations, attention_weights, dout,
@@ -849,3 +882,62 @@ def ms_deform_attn_fused(value, spatial_shapes, sampling_locations,
 
 
 ms_deform_attn_fused.defvjp(_v3_fwd, _v3_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-native entry: the caller supplies locT/attnT ALREADY in the
+# kernel's flat (B, F, Q_pad) layout (models/transformer.py builds them by
+# emitting the offsets/attention projections pre-transposed — the dot picks
+# the output layout, so the ~1.3 ms/layer locT/attnT staging transposes the
+# legacy entry pays at YOLO scale disappear, in the forward AND in the
+# backward, whose residuals are now the staged tensors themselves).
+# Single-mesh-context only by design: under an active mesh the model falls
+# back to the legacy entry, whose custom_partitioning rules are the tested
+# dp x sp x tp path.
+# ---------------------------------------------------------------------------
+
+
+def _v3_t_impl(value, spatial_shapes, locT, attnT):
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    Q_pad = locT.shape[2]
+    assert Q_pad % _QT == 0, (Q_pad, _QT)
+    vT_levels = _prep_value(value, shapes)
+    out = _fwd_core(vT_levels, locT, attnT, shapes, value.dtype)
+    out = out.transpose(0, 3, 1, 2)                       # (B, Q_pad, H, D)
+    return out.reshape(B, Q_pad, H * D).astype(value.dtype)
+
+
+def _v3_t_fwd(value, spatial_shapes, locT, attnT):
+    out = _v3_t_impl(value, spatial_shapes, locT, attnT)
+    return out, (value, locT, attnT)
+
+
+def _v3_t_bwd(spatial_shapes, res, dout):
+    value, locT, attnT = res
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    Q_pad = locT.shape[2]
+    vT_levels = _prep_value(value, shapes)
+    do = dout.reshape(B, Q_pad, H, D).astype(_F32).transpose(0, 2, 3, 1)
+    d_value, dlocT, daT = _bwd_twokernel_core(
+        value, vT_levels, locT, attnT, do, shapes)
+    return d_value, dlocT, daT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_fused_t(value, spatial_shapes, locT, attnT):
+    """Fused deformable sampling on pre-transposed coordinate operands.
+
+    value (B, S, H, D); locT (B, H*L*P*2, Q_pad) f32 raw NORMALIZED
+    locations, row order (h, l, p, coord), Q_pad a multiple of the kernel's
+    query tile; attnT (B, H*L*P, Q_pad) f32 softmaxed attention.
+    Returns (B, Q_pad, H*D) in value.dtype — rows beyond the caller's true
+    Q are garbage (they sample wherever the padded coords point) and must
+    be sliced off. Backward returns (d_value, d_locT, d_attnT) in the same
+    flat layouts.
+    """
+    return _v3_t_impl(value, spatial_shapes, locT, attnT)
+
+
+ms_deform_attn_fused_t.defvjp(_v3_t_fwd, _v3_t_bwd)
