@@ -111,7 +111,10 @@ class MSDeformAttn(nn.Module):
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, H, head_dim)
 
-        if self.impl == "fused" and not _in_mesh_context():
+        import os as _os
+
+        if (self.impl == "fused" and not _in_mesh_context()
+                and _os.environ.get("POET_FUSED_T", "1") == "1"):
             # Transposed-native path: the offsets/attention projections are
             # emitted directly in the kernel's flat (B, F, Q_pad) layout by
             # einsums that CHOOSE the transposed output — the ~1.3 ms/layer
@@ -327,25 +330,29 @@ def compute_valid_ratios(masks: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.stack(ratios, axis=1)
 
 
-# Memory length at/above which 'auto' decoder cross-attention picks the
-# fused Pallas kernel over the one-hot matmuls on a TPU backend. The mxu
-# one-hot compare domain is O(S) per (query, head, point) — 3.3 ms/iter at
-# the YOLO full pyramid (S=6380) — while the fused kernel's decoder cost is
-# dominated by vT staging it pays at any Q. The rcnn pyramid (S=1600) stays
-# 'mxu' (won the 2026-08-19 on-chip A/B, 27.59 vs 28.71 ms/batch).
-DEC_FUSED_MIN_S = 4000
+# Memory length at/above which 'auto' decoder cross-attention would pick
+# the fused Pallas kernel over the one-hot matmuls. MEASURED VERDICT: the
+# one-hots win at every geometry the models reach, so 'auto' is always
+# 'mxu' (None = never fused). On-chip A/Bs: rcnn pyramid S=1600 — 27.59 vs
+# 28.71 ms/batch (2026-08-19); YOLO full pyramid S=6380 — 136.7 (mxu) vs
+# 138.6 (fused) ms/batch (2026-08-20, scripts/bench_dec_impl.py): the mxu
+# compare domain IS O(S) per query (~3 ms/iter at S=6380), but the fused
+# kernel re-stages the full memory as vT per decoder layer, which costs
+# slightly more. Kept as a tunable for future geometries.
+DEC_FUSED_MIN_S = None
 
 
 def resolve_dec_impl(dec_impl: str, total_tokens: int) -> str:
     """Resolve the decoder cross-attn sampling core for a given memory
     length (static at trace time). Explicit values pass through; 'auto'
-    picks 'fused' only on a TPU backend at large S (the fused kernel is a
-    TPU Mosaic kernel; every other backend keeps the portable one-hots)."""
+    picks 'fused' only on a TPU backend at/above DEC_FUSED_MIN_S (None =
+    never; see the measured verdict above)."""
     if dec_impl != "auto":
         return dec_impl
     from poet_tpu.config import _default_backend_is_tpu
 
-    if total_tokens >= DEC_FUSED_MIN_S and _default_backend_is_tpu():
+    if (DEC_FUSED_MIN_S is not None and total_tokens >= DEC_FUSED_MIN_S
+            and _default_backend_is_tpu()):
         return "fused"
     return "mxu"
 

@@ -47,12 +47,19 @@ def mish(x):
     mish runs on the VPU over the largest feature maps in the network (the
     stride-1/2 CSP stem sees 480x640x32 per image), where transcendental
     issue rate — not HBM — was the measured cost. x is clamped at 25
-    before the exp: tanh(softplus(25)) == 1 exactly in f32, so the clamp
-    alone gives mish(x) = x for large x — no `where` pass needed (the r4
-    YOLO profile showed the where's compare+select fused into the early
-    convs at 480x640 scale) — and the autodiff gradient stays finite."""
-    e = jnp.exp(jnp.minimum(x, 25.0))
-    return x * (1.0 - 2.0 / ((1.0 + e) * (1.0 + e) + 1.0))
+    before the exp (tanh(softplus(25)) == 1 in f32) so both the value and
+    the autodiff gradient stay finite at any input.
+
+    Measured footnote (2026-08-20, trimmed YOLO bench): keep the final
+    `where` — a clamp-only variant (x * t(min(x, 25)), algebraically the
+    same) benched 334 vs 404 img/s because XLA then fuses the divide chain
+    INTO the big early-conv fusions, stretching their critical pass; the
+    where keeps mish a separate lean pass. Pure x*tanh(softplus(x))
+    benched 390."""
+    xs = jnp.minimum(x, 25.0)
+    e = jnp.exp(xs)
+    t = 1.0 - 2.0 / ((1.0 + e) * (1.0 + e) + 1.0)
+    return jnp.where(x > 25.0, x, x * t)
 
 
 def parse_darknet_cfg(text: str) -> List[Dict[str, Any]]:

@@ -335,17 +335,23 @@ def test_dec_deform_impl_resolution():
     assert cfg.model.resolved_dec_deform_impl() == "auto"   # deferred
 
     assert resolve_dec_impl("auto", 1600) == "mxu"          # rcnn pyramid
-    # on CPU the TPU-only fused kernel is never auto-selected
-    assert resolve_dec_impl("auto", DEC_FUSED_MIN_S + 1000) == "mxu"
+    # measured verdict (see DEC_FUSED_MIN_S): mxu at every model geometry
+    assert DEC_FUSED_MIN_S is None
+    assert resolve_dec_impl("auto", 6380) == "mxu"          # YOLO pyramid
+    import poet_tpu.models.transformer as tr
+
+    orig = tr.DEC_FUSED_MIN_S
+    tr.DEC_FUSED_MIN_S = 4000                               # tunable works
     import poet_tpu.config as config_mod
 
-    orig = config_mod._default_backend_is_tpu
+    orig_tpu = config_mod._default_backend_is_tpu
     config_mod._default_backend_is_tpu = lambda: True
     try:
-        assert resolve_dec_impl("auto", 6380) == "fused"    # YOLO pyramid
+        assert resolve_dec_impl("auto", 6380) == "fused"
         assert resolve_dec_impl("auto", 1600) == "mxu"
     finally:
-        config_mod._default_backend_is_tpu = orig
+        tr.DEC_FUSED_MIN_S = orig
+        config_mod._default_backend_is_tpu = orig_tpu
 
     cfg.model.dec_deform_impl = "fused"         # explicit choice wins
     assert cfg.model.resolved_dec_deform_impl() == "fused"
