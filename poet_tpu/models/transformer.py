@@ -134,12 +134,23 @@ class MSDeformAttn(nn.Module):
                 name="sampling_offsets")(C)
             wk_att, b_att = _ProjParams(
                 H * L * P, name="attention_weights")(C)
-            offsetsT = (jnp.einsum("cf,bqc->bfq", wk_off,
-                                   qp.astype(jnp.float32))
-                        + b_off[None, :, None])           # (B, F2, Q_pad)
-            logitsT = (jnp.einsum("cf,bqc->bfq", wk_att,
-                                  qp.astype(jnp.float32))
-                       + b_att[None, :, None])            # (B, F1, Q_pad)
+
+            def proj_T(w, b):
+                # batched dot with the weight broadcast over B: the ONLY
+                # dot_general whose native output order is (b, f, q) — a
+                # plain einsum emits (f, b, q) and XLA inserts a full-pass
+                # reorder copy (measured 0.64 ms/layer at S=6380). The
+                # broadcast weight is ~8 MB f32, fused into the dot.
+                wT = jnp.broadcast_to(
+                    w.T[None], (B,) + w.T.shape)          # (B, F, C)
+                out = jax.lax.dot_general(
+                    wT, qp.astype(jnp.float32),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # (B, F, Q_pad)
+                return out + b[None, :, None]
+
+            offsetsT = proj_T(wk_off, b_off)              # (B, F2, Q_pad)
+            logitsT = proj_T(wk_att, b_att)               # (B, F1, Q_pad)
             attnT = jax.nn.softmax(
                 logitsT.reshape(B, H, L * P, Q_pad), axis=2
             ).reshape(B, H * L * P, Q_pad)
@@ -151,10 +162,13 @@ class MSDeformAttn(nn.Module):
             whs = np.asarray([[w, h] for (h, w) in spatial_shapes],
                              np.float32)                  # (L, 2) = (W, H)
             inv_rows = jnp.asarray(1.0 / whs[l_of, coord_of])
+            # reference_points may carry the UNPADDED token count (the
+            # token-axis pre-pad touches src/pos/mask only) — pad to Q_pad
+            Qr = reference_points.shape[1]
             refT = reference_points.astype(jnp.float32).transpose(0, 2, 3, 1)
-            refT = refT.reshape(B, L * 2, Q)
-            if Q_pad != Q:
-                refT = jnp.pad(refT, ((0, 0), (0, 0), (0, Q_pad - Q)))
+            refT = refT.reshape(B, L * 2, Qr)
+            if Q_pad != Qr:
+                refT = jnp.pad(refT, ((0, 0), (0, 0), (0, Q_pad - Qr)))
             ref_rows = jnp.take(refT, jnp.asarray(l_of * 2 + coord_of),
                                 axis=1)                   # (B, F2, Q_pad)
             locT = ref_rows + offsetsT * inv_rows[None, :, None]
@@ -426,6 +440,29 @@ class DeformableTransformer(nn.Module):
         mask_flat = jnp.concatenate(mask_flat, axis=1)
         pos_flat = jnp.concatenate(pos_flat, axis=1).astype(self.dtype)
         valid_ratios = compute_valid_ratios(masks)
+
+        # Pad the token axis ONCE to the fused kernel's query tile when the
+        # transposed-native encoder path will run (Q == S there). Without
+        # this every encoder layer pays a full-pass lane-pad of its
+        # (B, F, S) coordinate tensors — XLA commutes pad(x)@W into
+        # pad(x@W), re-materializing 163 MB/layer at YOLO scale (measured
+        # 0.70 ms/layer). Pad tokens: mask=True (value zeroed), sliced off
+        # nowhere — every sampling impl addresses levels by start offsets
+        # and the level extents never reach the tail; `memory` is unused by
+        # PoET (poet.py:163 discards it).
+        import os as _os
+
+        S_tokens = src_flat.shape[1]
+        if (self.enc_impl == "fused" and not _in_mesh_context()
+                and _os.environ.get("POET_FUSED_T", "1") == "1"):
+            S_pad = -(-S_tokens // _QT) * _QT
+            if S_pad != S_tokens:
+                tpad = ((0, 0), (0, S_pad - S_tokens), (0, 0))
+                src_flat = jnp.pad(src_flat, tpad)
+                pos_flat = jnp.pad(pos_flat, tpad)
+                mask_flat = jnp.pad(
+                    mask_flat, ((0, 0), (0, S_pad - S_tokens)),
+                    constant_values=True)
 
         # ---- encoder
         # sequence parallelism (no-op without a 'seq' mesh axis): tokens

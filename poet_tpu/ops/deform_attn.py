@@ -50,7 +50,7 @@ def ms_deform_attn_xla(
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     assert len(spatial_shapes) == L
-    assert sum(h * w for h, w in spatial_shapes) == S
+    assert sum(h * w for h, w in spatial_shapes) <= S  # trailing pad tokens OK
 
     dtype = value.dtype
     out = jnp.zeros((B, Q, H, D), dtype=jnp.promote_types(dtype, jnp.float32))
@@ -138,7 +138,7 @@ def ms_deform_attn_mxu(
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     assert len(spatial_shapes) == L
-    assert sum(h * w for h, w in spatial_shapes) == S
+    assert sum(h * w for h, w in spatial_shapes) <= S  # trailing pad tokens OK
 
     dtype = value.dtype
     f32 = jnp.float32
@@ -257,7 +257,7 @@ def ms_deform_attn_patch(
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     assert len(spatial_shapes) == L
-    assert sum(h * w for h, w in spatial_shapes) == S
+    assert sum(h * w for h, w in spatial_shapes) <= S  # trailing pad tokens OK
 
     dtype = value.dtype
     f32 = jnp.float32
@@ -388,7 +388,7 @@ def ms_deform_attn_sep(
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     assert len(spatial_shapes) == L
-    assert sum(h * w for h, w in spatial_shapes) == S
+    assert sum(h * w for h, w in spatial_shapes) <= S  # trailing pad tokens OK
 
     dtype = value.dtype
     f32 = jnp.float32

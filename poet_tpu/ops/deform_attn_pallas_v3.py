@@ -281,7 +281,7 @@ def ms_deform_attn_pallas_v3(
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    assert sum(h * w for h, w in spatial_shapes) == S
+    assert sum(h * w for h, w in spatial_shapes) <= S  # trailing pad tokens OK
 
     vT_levels, locT, attnT, Q_pad = _prep(
         value, spatial_shapes, sampling_locations, attention_weights)
@@ -922,6 +922,11 @@ def _v3_t_bwd(spatial_shapes, res, dout):
     do = dout.reshape(B, Q_pad, H, D).astype(_F32).transpose(0, 2, 3, 1)
     d_value, dlocT, daT = _bwd_twokernel_core(
         value, vT_levels, locT, attnT, do, shapes)
+    # trailing pad tokens (token axis pre-padded to the query tile) never
+    # enter any level, so their gradient is exactly zero
+    S_lv = sum(h * w for h, w in shapes)
+    if S_lv < S:
+        d_value = jnp.pad(d_value, ((0, 0), (0, S - S_lv), (0, 0), (0, 0)))
     return d_value, dlocT, daT
 
 

@@ -112,6 +112,43 @@ def test_model_t_path_matches_mxu(rng):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_fused_t_padded_token_axis(rng):
+    """Encoder case: the token axis is pre-padded to the query tile
+    (S > sum of level extents). Forward must ignore the tail; d_value must
+    come back padded with exact zeros for the tail rows."""
+    B, H, D, P, Q = 2, 4, 8, 3, 40
+    L = len(SHAPES)
+    S_lv = sum(h * w for h, w in SHAPES)
+    S = S_lv + 9
+    value_p = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    value = value_p[:, :S_lv]
+    loc = jnp.asarray(rng.uniform(0.05, 0.95, (B, Q, H, L, P, 2)), jnp.float32)
+    attn = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, Q, H, L, P)), jnp.float32)
+        .reshape(B, Q, H, L * P), axis=-1).reshape(B, Q, H, L, P)
+    locT, attnT, _ = _to_T(loc, attn)
+
+    def f_pad(v):
+        return jnp.sum(jnp.sin(
+            ms_deform_attn_fused_t(v, SHAPES, locT, attnT)[:, :Q]))
+
+    def f_ref(v):
+        return jnp.sum(jnp.sin(
+            ms_deform_attn_fused(v, SHAPES, loc, attn)))
+
+    with _interpret():
+        out_pad = ms_deform_attn_fused_t(value_p, SHAPES, locT, attnT)[:, :Q]
+        out_ref = ms_deform_attn_fused(value, SHAPES, loc, attn)
+        g_pad = jax.grad(f_pad)(value_p)
+        g_ref = jax.grad(f_ref)(value)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+    assert g_pad.shape == value_p.shape
+    np.testing.assert_allclose(np.asarray(g_pad[:, :S_lv]),
+                               np.asarray(g_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(g_pad[:, S_lv:]), 0.0)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
