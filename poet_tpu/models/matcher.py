@@ -90,7 +90,22 @@ def match_poses(
     pad = (row_ids >= n_pred[:, None, None]) | (col_ids >= n_tgt[:, None, None])
     cost = jnp.where(pad, BIG_COST, cost)
 
-    tgt_idx = hungarian(cost)                                   # (B, Q)
+    # Certified identity shortcut: every cost above is >= 0, so whenever the
+    # diagonal is zero over the valid prefix the identity assignment has
+    # total cost 0 == the global optimum (surplus rows land on pad columns
+    # either way) and the JV solve is provably unnecessary. This is the
+    # TRAINING common case by construction — gt/jitter queries are built
+    # FROM the targets in order (pred_boxes == tgt_boxes row-for-row,
+    # pose_estimation_transformer.py:203-239), so the in-jit JV while-loops
+    # (~1.8 ms/step at bs=16) run only when the match is non-trivial.
+    diag = jnp.diagonal(cost, axis1=1, axis2=2)                 # (B, Q)
+    prefix = jnp.arange(Q)[None, :] < jnp.minimum(n_pred, n_tgt)[:, None]
+    identity_opt = jnp.all(jnp.where(prefix, diag, 0.0) == 0.0)
+    tgt_idx = jax.lax.cond(
+        identity_opt,
+        lambda c: jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[None],
+                                   (B, Q)),
+        hungarian, cost)                                        # (B, Q)
     valid = (jnp.arange(Q)[None, :] < n_pred[:, None]) & (tgt_idx < n_tgt[:, None])
 
     if bbox_mode == "backbone":

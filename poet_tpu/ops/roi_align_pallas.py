@@ -210,7 +210,7 @@ def multiscale_roi_align_pallas(
     sampling_ratio: int = 2,
     canonical_scale: int = 224,
     canonical_level: int = 4,
-    wide_capacity: int = 4,
+    wide_capacity: int = None,
     interpret: bool = False,
     padded_output: bool = False,
 ) -> jnp.ndarray:
@@ -223,6 +223,12 @@ def multiscale_roi_align_pallas(
     NCHW transpose copies (~4 ms/iter of the r4 detect+pose profile)."""
     from poet_tpu.ops import detection as det
 
+    if wide_capacity is None:
+        # chunk width of the exact wide-box re-pool loop (exactness never
+        # depends on it — only how many loop iterations a violator-heavy
+        # batch takes). Env-tunable for A/Bs; real RPN distributions have
+        # ~zero violators, random-weight benches can have dozens.
+        wide_capacity = int(os.environ.get("POET_ROI_WIDE_CAP", "4"))
     B, R = boxes.shape[:2]
     C = features[0].shape[-1]
     dt = features[0].dtype

@@ -219,3 +219,40 @@ def test_legacy_hungarian_matcher(rng):
             if np.asarray(res.valid)[b, i]
         }
         assert got == expected
+
+
+def test_identity_shortcut_is_exact():
+    """The certified identity shortcut: aligned (training-shaped) inputs
+    take the identity branch; shuffled inputs take the JV branch — both
+    must equal scipy's optimum."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(11)
+    B, Q = 3, 7
+    boxes = rng.uniform(0.1, 0.9, (B, Q, 4)).astype(np.float32)
+    labels = rng.integers(1, 5, (B, Q)).astype(np.int32)
+    n = np.array([7, 4, 6], dtype=np.int32)
+
+    # aligned: pred == tgt row-for-row (gt-mode construction)
+    res = match_poses(jnp.asarray(boxes), jnp.asarray(labels),
+                      jnp.asarray(boxes), jnp.asarray(labels),
+                      jnp.asarray(n), jnp.asarray(n), bbox_mode="gt")
+    np.testing.assert_array_equal(
+        np.asarray(res.tgt_idx), np.tile(np.arange(Q), (B, 1)))
+
+    # shuffled columns: identity is NOT optimal; must match scipy exactly
+    perm = np.stack([rng.permutation(Q) for _ in range(B)])
+    tgt_boxes = np.take_along_axis(boxes, perm[:, :, None], axis=1)
+    tgt_labels = np.take_along_axis(labels, perm, axis=1)
+    res2 = match_poses(jnp.asarray(boxes), jnp.asarray(labels),
+                       jnp.asarray(tgt_boxes), jnp.asarray(tgt_labels),
+                       jnp.asarray(n), jnp.asarray(n), bbox_mode="gt")
+    for b in range(B):
+        C = np.abs(boxes[b, :, None, :] - tgt_boxes[b, None, :, :]).sum(-1)
+        C = C.astype(np.float64)
+        C[n[b]:, :] = 1e6
+        C[:, n[b]:] = 1e6
+        rr, cc = linear_sum_assignment(C)
+        ours = np.asarray(res2.tgt_idx)[b]
+        # same total cost (optima may tie); valid prefix must be optimal
+        assert np.isclose(C[np.arange(Q), ours].sum(), C[rr, cc].sum())
