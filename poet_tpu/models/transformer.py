@@ -345,22 +345,26 @@ def compute_valid_ratios(masks: List[jnp.ndarray]) -> jnp.ndarray:
 
 
 # Memory length at/above which 'auto' decoder cross-attention would pick
-# the fused Pallas kernel over the one-hot matmuls. MEASURED VERDICT: the
-# one-hots win at every geometry the models reach, so 'auto' is always
-# 'mxu' (None = never fused). On-chip A/Bs: rcnn pyramid S=1600 — 27.59 vs
-# 28.71 ms/batch (2026-08-19); YOLO full pyramid S=6380 — 136.7 (mxu) vs
-# 138.6 (fused) ms/batch (2026-08-20, scripts/bench_dec_impl.py): the mxu
-# compare domain IS O(S) per query (~3 ms/iter at S=6380), but the fused
-# kernel re-stages the full memory as vT per decoder layer, which costs
-# slightly more. Kept as a tunable for future geometries.
+# the fused Pallas kernel over the one-hot matmuls. MEASURED VERDICT
+# (2026-08-20, scripts/bench_dec_impl.py + flagship A/B): the fused kernel
+# never wins as the decoder — S=1600: 27.59 vs 28.71 ms/batch; S=6380:
+# 138.6 vs 136.7 (mxu) — its per-layer vT re-staging of the full memory
+# outranks the O(S) one-hot compare domain. None = never fused.
 DEC_FUSED_MIN_S = None
+# Memory length at/above which 'auto' would pick the portable
+# take_along_axis GATHER core instead of the one-hot matmuls. MEASURED
+# VERDICT: mxu wins everywhere — back-to-back at YOLO full pyramid S=6380:
+# mxu 127.2 / gather 133.5 / mxu 126.9 ms/batch (a single earlier
+# gather-favorable reading was relay congestion across invocations);
+# flagship S=1600: mxu 597.4 vs gather 423.6 img/s. None = never gather.
+DEC_GATHER_MIN_S = None
 
 
 def resolve_dec_impl(dec_impl: str, total_tokens: int) -> str:
     """Resolve the decoder cross-attn sampling core for a given memory
     length (static at trace time). Explicit values pass through; 'auto'
-    picks 'fused' only on a TPU backend at/above DEC_FUSED_MIN_S (None =
-    never; see the measured verdict above)."""
+    picks by S: 'gather' at/above DEC_GATHER_MIN_S, else 'mxu' (the fused
+    kernel never wins as the decoder; see the measured verdicts above)."""
     if dec_impl != "auto":
         return dec_impl
     from poet_tpu.config import _default_backend_is_tpu
@@ -368,6 +372,8 @@ def resolve_dec_impl(dec_impl: str, total_tokens: int) -> str:
     if (DEC_FUSED_MIN_S is not None and total_tokens >= DEC_FUSED_MIN_S
             and _default_backend_is_tpu()):
         return "fused"
+    if DEC_GATHER_MIN_S is not None and total_tokens >= DEC_GATHER_MIN_S:
+        return "gather"
     return "mxu"
 
 

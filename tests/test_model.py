@@ -335,7 +335,8 @@ def test_dec_deform_impl_resolution():
     assert cfg.model.resolved_dec_deform_impl() == "auto"   # deferred
 
     assert resolve_dec_impl("auto", 1600) == "mxu"          # rcnn pyramid
-    # measured verdict (see DEC_FUSED_MIN_S): mxu at every model geometry
+    # measured verdicts (see DEC_FUSED_MIN_S / DEC_GATHER_MIN_S): mxu
+    # everywhere; fused and gather never win as the decoder core
     assert DEC_FUSED_MIN_S is None
     assert resolve_dec_impl("auto", 6380) == "mxu"          # YOLO pyramid
     import poet_tpu.models.transformer as tr
