@@ -16,6 +16,7 @@ Parity notes cite reference lines.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -111,10 +112,8 @@ class MSDeformAttn(nn.Module):
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, H, head_dim)
 
-        import os as _os
-
         if (self.impl == "fused" and not _in_mesh_context()
-                and _os.environ.get("POET_FUSED_T", "1") == "1"):
+                and os.environ.get("POET_FUSED_T", "1") == "1"):
             # Transposed-native path: the offsets/attention projections are
             # emitted directly in the kernel's flat (B, F, Q_pad) layout by
             # einsums that CHOOSE the transposed output — the ~1.3 ms/layer
@@ -456,11 +455,9 @@ class DeformableTransformer(nn.Module):
         # nowhere — every sampling impl addresses levels by start offsets
         # and the level extents never reach the tail; `memory` is unused by
         # PoET (poet.py:163 discards it).
-        import os as _os
-
         S_tokens = src_flat.shape[1]
         if (self.enc_impl == "fused" and not _in_mesh_context()
-                and _os.environ.get("POET_FUSED_T", "1") == "1"):
+                and os.environ.get("POET_FUSED_T", "1") == "1"):
             S_pad = -(-S_tokens // _QT) * _QT
             if S_pad != S_tokens:
                 tpad = ((0, 0), (0, S_pad - S_tokens), (0, 0))

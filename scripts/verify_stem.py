@@ -73,12 +73,19 @@ def main():
                 @jax.jit
                 def loop(x, w, b, salt):
                     def body(i, c):
-                        o = fn(x * (1 + c * 1e-9) + salt, w, b)
+                        # keep the perturbation IN the operand dtype and
+                        # large enough to survive bf16 rounding: a tiny f32
+                        # salt silently promoted x to f32 (and a sub-eps
+                        # bf16 factor rounds to 1.0, letting XLA hoist the
+                        # conv out of the loop) — both failure modes were
+                        # hit and fixed 2026-08-20
+                        f = (1 + (salt + c * 1e-6) * 1e-2).astype(x.dtype)
+                        o = fn(x * f, w, b)
                         return jnp.mean(o.astype(jnp.float32))
 
                     return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-                return lambda sv: float(loop(x, w, b, jnp.asarray(sv, dt)))
+                return lambda sv: float(loop(x, w, b, jnp.float32(sv)))
 
             if dt == jnp.bfloat16:
                 t_pal = marginal(lambda n: mk(n, lambda x, w, b: conv_stem_pallas(
