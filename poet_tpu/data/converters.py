@@ -32,6 +32,26 @@ LMO_CLASSES = ["ape", "can", "cat", "driller", "duck", "eggbox", "glue", "holepu
 LMO_ID_MAP = {1: 1, 5: 2, 6: 3, 8: 4, 9: 5, 10: 6, 11: 7, 12: 8}
 
 
+def vendored_keyframes_path() -> str:
+    """Path to the shipped YCB-V keyframe list (2,949 frames).
+
+    This is the exact data asset the reference consumes to define the
+    `keyframes`/`keyframes_bop` eval splits used by most papers
+    (data_utils/data_annotation/keyframes.txt, read at ycbv2poet.py:57-65
+    and matched at :140-144) — vendored under dataset_files/ so a migrating
+    user reproduces the paper's eval split without the reference checkout.
+    """
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "dataset_files", "keyframes.txt")
+
+
+def load_keyframes(path: Optional[str] = None) -> List[str]:
+    """Read a keyframes list (`SSSS/FFFFFF` per line); default = vendored."""
+    with open(path or vendored_keyframes_path()) as f:
+        return [line.rstrip() for line in f]
+
+
 def _categories(names: Sequence[str]) -> List[dict]:
     cats = [{"supercategory": "background", "id": 0, "name": "background"}]
     cats += [
@@ -174,13 +194,16 @@ def main():
                    help="comma-separated BOP subdirs, e.g. train_real,train_synt")
     p.add_argument("--types", default="real", help="comma-separated image types")
     p.add_argument("--output", required=True)
-    p.add_argument("--keyframes", default=None, help="path to keyframes.txt")
+    p.add_argument(
+        "--keyframes", nargs="?", default=None, const="vendored",
+        help="path to keyframes.txt; bare `--keyframes` (or the literal "
+             "`vendored`) uses the shipped YCB-V list under dataset_files/")
     args = p.parse_args()
 
     kf = None
     if args.keyframes:
-        with open(args.keyframes) as f:
-            kf = [line.rstrip() for line in f]
+        kf = load_keyframes(
+            None if args.keyframes == "vendored" else args.keyframes)
     convert_bop_to_poet(
         args.base_path,
         args.split.split(","),

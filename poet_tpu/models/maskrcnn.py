@@ -147,6 +147,7 @@ class TwoMLPHead(nn.Module):
     forward, amortized over the 16000-row matmul."""
 
     padded_in: Tuple[int, int, int, int] = None
+    output_size: int = 7          # must equal the RoI align's output_size
 
     @nn.compact
     def __call__(self, x):
@@ -155,8 +156,13 @@ class TwoMLPHead(nn.Module):
             x = nn.relu(nn.Dense(1024, name="fc6")(x))
         else:
             Hp, Wp, Cp, C = self.padded_in
-            o = 7
+            o = self.output_size
+            assert o <= min(Hp, Wp), (
+                f"output_size {o} exceeds padded pooled block {Hp}x{Wp}")
             fc6 = _FC(1024, C * o * o, name="fc6")
+            assert fc6.kernel.shape[0] == C * o * o, (
+                f"fc6 kernel input dim {fc6.kernel.shape[0]} != C*o*o "
+                f"({C}*{o}*{o}) — output_size mismatch vs the RoI align")
             w = fc6.kernel.reshape(C, o, o, 1024)              # (C,7,7) order
             w = jnp.transpose(w, (1, 2, 0, 3))                 # (7,7,C,1024)
             w = jnp.pad(w, ((0, Hp - o), (0, Wp - o), (0, Cp - C), (0, 0)))
@@ -302,8 +308,8 @@ class MaskRCNNDetector(nn.Module):
             P = pooled.shape[1]
             _, _, Mo, _, Cp = pooled.shape
             C_feat = roi_feats[0].shape[-1]
-            x = TwoMLPHead(name="box_head", padded_in=(Mo, Mo, Cp, C_feat))(
-                pooled.reshape(B * P, -1))
+            x = TwoMLPHead(name="box_head", padded_in=(Mo, Mo, Cp, C_feat),
+                           output_size=7)(pooled.reshape(B * P, -1))
         else:
             if impl == "flat":
                 pooled = jax.vmap(

@@ -124,8 +124,15 @@ def _kernel(*refs, L, out_size, s, rx_levels, Cp, dt):
                         acc = t if acc is None else acc + t
                     sr_ref[0:RXl, oy * Cp:(oy + 1) * Cp] = acc
                 axl = ax_ref[0, i, :, :RXl]
+                # f32 inputs request full-precision MXU passes (default
+                # reduced precision measured ~1e-2 abs error on-chip vs the
+                # exact oracle); bf16 operands keep the native fast path —
+                # same policy as deform_attn_pallas_v3._dot
+                prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                        else jax.lax.Precision.DEFAULT)
                 outm = jnp.dot(axl, sr_ref[0:RXl, :],
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
                 for oy in range(out_size):
                     out_ref[0, i, oy] = outm[:, oy * Cp:(oy + 1) * Cp].astype(
                         out_ref.dtype)
@@ -371,7 +378,12 @@ def multiscale_roi_align_pallas(
         n_wide_max = jnp.max(jnp.sum(over_im > 0, axis=1))
         n_chunks = (n_wide_max + Kw - 1) // Kw
         bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-        order_pad = jnp.pad(order, ((0, 0), (0, Kw)))          # chunk overrun
+        # chunk-overrun padding uses the out-of-range index R so the final
+        # scatter drops pad entries instead of aliasing box 0 (a duplicate
+        # index 0 in one scatter would make the box-0 re-pool write-order
+        # dependent); gathers through R clamp, which is harmless since the
+        # gathered values are dropped at the scatter
+        order_pad = jnp.pad(order, ((0, 0), (0, Kw)), constant_values=R)
         over_pad = jnp.pad(over_sorted, ((0, 0), (0, Kw)))
 
         def chunk_body(carry):
@@ -390,7 +402,7 @@ def multiscale_roi_align_pallas(
             keep = acc[bidx, wide_i]
             vals = jnp.where((wide_over > 0)[..., None, None, None],
                              pad_block(out_w), keep)
-            return i + 1, acc.at[bidx, wide_i].set(vals)
+            return i + 1, acc.at[bidx, wide_i].set(vals, mode="drop")
 
         out = jax.lax.while_loop(
             lambda c: c[0] < n_chunks, chunk_body, (jnp.int32(0), out))[1]

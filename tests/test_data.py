@@ -169,6 +169,51 @@ def test_converter(tmp_path, rng):
     assert a1["bbox"][2] == 640 - 100 - 1                 # clamped width
 
 
+def test_converter_keyframe_split(tmp_path):
+    """Synthetic BOP tree + keyframe list -> exactly the keyframe-subset JSON
+    (ycbv2poet.py:57-65,140-144 semantics: key = scene_dir[2:] + '/' + stem),
+    and the vendored dataset_files/keyframes.txt resolves + parses."""
+    from poet_tpu.data.converters import load_keyframes, vendored_keyframes_path
+
+    scene = tmp_path / "test" / "000048"
+    (scene / "rgb").mkdir(parents=True)
+    n = 4
+    for i in range(n):
+        Image.new("RGB", (640, 480)).save(scene / "rgb" / f"{i:06d}.png")
+    eye = list(np.eye(3).reshape(-1))
+    gt = {str(i): [{"obj_id": 1, "cam_R_m2c": eye, "cam_t_m2c": [0, 0, 500.0]}]
+          for i in range(n)}
+    gt_info = {str(i): [{"bbox_obj": [10, 10, 30, 30], "visib_fract": 1.0}]
+               for i in range(n)}
+    cam = {str(i): {"cam_K": [1066.8, 0, 312.99, 0, 1067.5, 241.31, 0, 0, 1]}
+           for i in range(n)}
+    json.dump(gt, open(scene / "scene_gt.json", "w"))
+    json.dump(gt_info, open(scene / "scene_gt_info.json", "w"))
+    json.dump(cam, open(scene / "scene_camera.json", "w"))
+
+    # keyframe list in the reference's exact key format (scene 000048 -> 0048)
+    kf = ["0048/000001", "0048/000003"]
+    res = convert_bop_to_poet(
+        str(tmp_path), ["test"], ["real"], str(tmp_path / "kf.json"),
+        keyframes=kf)
+    assert [im["file_name"] for im in res["images"]] == [
+        os.path.join("test", "000048", "rgb", "000001.png"),
+        os.path.join("test", "000048", "rgb", "000003.png"),
+    ]
+    assert len(res["annotations"]) == 2
+    # without the list: the full split
+    res_full = convert_bop_to_poet(
+        str(tmp_path), ["test"], ["real"], str(tmp_path / "full.json"))
+    assert len(res_full["images"]) == n
+
+    # vendored asset: present, 2,949 lines, reference key format
+    vend = load_keyframes()
+    assert os.path.basename(vendored_keyframes_path()) == "keyframes.txt"
+    assert len(vend) == 2949
+    assert all(len(k.split("/")) == 2 for k in vend[:10])
+    assert vend[0] == "0048/000001"
+
+
 def test_converter_lmo_id_map(tmp_path):
     scene = tmp_path / "test" / "000002"
     (scene / "rgb").mkdir(parents=True)

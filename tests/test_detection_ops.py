@@ -377,6 +377,38 @@ def test_multiscale_roi_align_pallas_matches_flat_oracle(rng):
             np.asarray(out[b]), np.asarray(ref), atol=2e-4)
 
 
+def test_multiscale_roi_align_pallas_chunk_overrun_no_alias(rng):
+    """Wide re-pool chunk overrun (ADVICE r4): when the last while_loop chunk
+    slices past R, the pad entries must NOT alias box 0 in the scatter —
+    they are padded with the out-of-range index R and dropped. Box 0 is the
+    MILDEST violator so it sorts into the overrunning last chunk: with a
+    zero-padded `order` the same scatter would hold index 0 twice with
+    different values (its exact re-pool vs the pad's pre-update read) and
+    undefined duplicate-scatter order could overwrite the exact result."""
+    from poet_tpu.ops.detection import _multiscale_roi_align_flat
+    from poet_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+    shapes = [(60, 80), (30, 40), (15, 20), (8, 10)]
+    B, C, R = 1, 8, 6
+    feats = [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+             for h, w in shapes]
+    strides = [4, 8, 16, 32]
+    rows = [[0.0, 10.0, 262.0, 14.0]]            # box 0: mildest sliver
+    for i in range(4):                           # 4 stronger violators
+        y = 30.0 + 40 * i
+        rows.append([0.0, y, 290.0 + 7 * i, y + 6.0])
+    rows.append([40.0, 40.0, 90.0, 95.0])        # 1 normal box
+    boxes = jnp.asarray(rows, jnp.float32)[None]  # (1, 6, 4)
+
+    # Kw=4: 5 violators -> 2 chunks, second chunk slices order[4:8] past R=6
+    out = multiscale_roi_align_pallas(
+        feats, strides, boxes, output_size=7, sampling_ratio=2,
+        wide_capacity=4, interpret=True)
+    ref = _multiscale_roi_align_flat(
+        [f[0] for f in feats], strides, boxes[0], 7, 2, 224, 4)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=2e-4)
+
+
 def _exact_select_np(boxes_pc, scores_pc, ncls, iou_t, md):
     """Full exact per-class NMS + top-md selection (the fallback branch)."""
     from poet_tpu.ops.detection import exact_class_nms_mask
