@@ -34,10 +34,23 @@ from poet_tpu.ops.deform_attn import (
 from poet_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
 from poet_tpu.ops.deform_attn_pallas_v3 import (
     _QT,
-    _in_mesh_context,
     ms_deform_attn_fused,
     ms_deform_attn_fused_t,
 )
+
+
+def _q_tile_unit() -> int:
+    """Padding unit for the fused kernel's query/token axis: _QT per 'seq'
+    mesh shard, so that under sequence parallelism every shard's slice of
+    the q axis remains a whole number of kernel tiles (the T entry's
+    per-shard pallas grid requires Q_local % _QT == 0)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and "seq" in getattr(mesh, "axis_names", ()):
+            return _QT * mesh.shape["seq"]
+    except Exception:
+        pass
+    return _QT
 
 
 def _grid_init_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
@@ -112,7 +125,7 @@ class MSDeformAttn(nn.Module):
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, H, head_dim)
 
-        if (self.impl == "fused" and not _in_mesh_context()
+        if (self.impl == "fused"
                 and os.environ.get("POET_FUSED_T", "1") == "1"):
             # Transposed-native path: the offsets/attention projections are
             # emitted directly in the kernel's flat (B, F, Q_pad) layout by
@@ -121,9 +134,11 @@ class MSDeformAttn(nn.Module):
             # (S=6380) never exist, in the forward or in the backward
             # (whose residuals are now the staged tensors). Param trees are
             # identical to the nn.Dense path (_ProjParams). Mesh contexts
-            # fall back to the legacy entry, whose custom_partitioning
-            # rules are the tested dp x sp x tp path.
-            Q_pad = -(-Q // _QT) * _QT
+            # (r5) run the SAME entry through its custom_partitioning twins
+            # (b/q/h shard natively; h-major rows make the head shard a
+            # block row-slice; backward psums the q-partial d_value).
+            unit = _q_tile_unit()
+            Q_pad = -(-Q // unit) * unit
             qp = (jnp.pad(query, ((0, 0), (0, Q_pad - Q), (0, 0)))
                   if Q_pad != Q else query)
             wk_off, b_off = _ProjParams(
@@ -456,9 +471,12 @@ class DeformableTransformer(nn.Module):
         # and the level extents never reach the tail; `memory` is unused by
         # PoET (poet.py:163 discards it).
         S_tokens = src_flat.shape[1]
-        if (self.enc_impl == "fused" and not _in_mesh_context()
+        if (self.enc_impl == "fused"
                 and os.environ.get("POET_FUSED_T", "1") == "1"):
-            S_pad = -(-S_tokens // _QT) * _QT
+            # pad unit is _QT x n_seq under a 'seq' mesh so every sequence-
+            # parallel shard keeps whole kernel tiles
+            unit = _q_tile_unit()
+            S_pad = -(-S_tokens // unit) * unit
             if S_pad != S_tokens:
                 tpad = ((0, 0), (0, S_pad - S_tokens), (0, 0))
                 src_flat = jnp.pad(src_flat, tpad)

@@ -891,9 +891,13 @@ ms_deform_attn_fused.defvjp(_v3_fwd, _v3_bwd)
 # the output layout, so the ~1.3 ms/layer locT/attnT staging transposes the
 # legacy entry pays at YOLO scale disappear, in the forward AND in the
 # backward, whose residuals are now the staged tensors themselves).
-# Single-mesh-context only by design: under an active mesh the model falls
-# back to the legacy entry, whose custom_partitioning rules are the tested
-# dp x sp x tp path.
+# Mesh-capable (r5): under an active mesh both passes go through
+# custom_partitioning twins of the legacy rules — the flat coordinate rows
+# are h-MAJOR, so a head shard is a plain block row-slice of locT/attnT
+# (factor product "(h f)" in the Shardy rule), batch and the q lane axis
+# shard natively, and the backward psums the query-partial d_value over the
+# q mesh axes. Per-shard Q_pad must stay a multiple of the query tile: the
+# model pads the token axis to _QT * n_seq (models/transformer.py).
 # ---------------------------------------------------------------------------
 
 
@@ -908,13 +912,9 @@ def _v3_t_impl(value, spatial_shapes, locT, attnT):
     return out.reshape(B, Q_pad, H * D).astype(value.dtype)
 
 
-def _v3_t_fwd(value, spatial_shapes, locT, attnT):
-    out = _v3_t_impl(value, spatial_shapes, locT, attnT)
-    return out, (value, locT, attnT)
-
-
-def _v3_t_bwd(spatial_shapes, res, dout):
-    value, locT, attnT = res
+def _v3_t_bwd_impl(value, locT, attnT, dout, spatial_shapes):
+    """T-entry adjoint on staged operands (shared by the single-device path
+    and the per-shard partition impl)."""
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     B, S, H, D = value.shape
     Q_pad = locT.shape[2]
@@ -930,6 +930,135 @@ def _v3_t_bwd(spatial_shapes, res, dout):
     return d_value, dlocT, daT
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd_t(spatial_shapes, n_points):
+    def _impl(value, locT, attnT):
+        return _v3_t_impl(value, spatial_shapes, locT, attnT)
+
+    f = custom_partitioning(_impl)
+
+    def _bqh(arg_shapes):
+        value_s, loc_s, attn_s = arg_shapes
+        b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0) or _axis_at(attn_s, 0))
+        h = (_axis_at(value_s, 2) or _axis_at(loc_s, 1) or _axis_at(attn_s, 1))
+        q = _axis_at(loc_s, 2) or _axis_at(attn_s, 2)
+        return b, q, h
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, q, h = _bqh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b, q, h))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, q, h = _bqh(arg_shapes)
+        arg_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+        out_sh = NamedSharding(mesh, PartitionSpec(b, q, h))
+        return mesh, _impl, out_sh, arg_sh
+
+    L = len(spatial_shapes)
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # h-major coordinate rows: a head shard of locT/attnT is a block
+        # row-slice — expressed as the factor products (h f2) / (h f1);
+        # compound-only factors need explicit sizes (Shardy verifier)
+        sharding_rule="b s h d, b (h f2) q, b (h f1) q -> b q (h d)",
+        need_replication_factors=("s", "f2", "f1"),
+        f2=L * n_points * 2, f1=L * n_points,
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd_t(spatial_shapes, n_points):
+    def _raw(value, locT, attnT, dout):
+        return _v3_t_bwd_impl(value, locT, attnT, dout, spatial_shapes)
+
+    f = custom_partitioning(_raw)
+
+    def _bhq(arg_shapes):
+        value_s, loc_s, attn_s, dout_s = arg_shapes
+        b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0)
+             or _axis_at(dout_s, 0))
+        h = (_axis_at(value_s, 2) or _axis_at(loc_s, 1)
+             or _axis_at(attn_s, 1) or _axis_at(dout_s, 2))
+        q = (_axis_at(loc_s, 2) or _axis_at(attn_s, 2)
+             or _axis_at(dout_s, 1))
+        return b, h, q
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h, q = _bhq(arg_shapes)
+        return (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h, q = _bhq(arg_shapes)
+        # q-sharded (sequence-parallel) shards compute d_value for their own
+        # queries against the replicated token axis; one psum over the q
+        # mesh axes completes it (same contract as the legacy bwd rule).
+        q_axes = (q,) if isinstance(q, str) else tuple(q or ())
+
+        def impl(value, locT, attnT, dout):
+            d_value, dlocT, daT = _v3_t_bwd_impl(value, locT, attnT, dout,
+                                                 spatial_shapes)
+            if q_axes:
+                d_value = jax.lax.psum(d_value, q_axes)
+            return d_value, dlocT, daT
+
+        arg_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, q, h)),
+        )
+        out_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+        return mesh, impl, out_sh, arg_sh
+
+    L = len(spatial_shapes)
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b s h d, b (h f2) q, b (h f1) q, b q (h d) "
+                       "-> b s h d, b (h f2) q, b (h f1) q"),
+        need_replication_factors=("s", "f2", "f1"),
+        f2=L * n_points * 2, f1=L * n_points,
+    )
+    return f
+
+
+def _t_n_points(value, attnT, spatial_shapes):
+    return attnT.shape[1] // (value.shape[2] * len(spatial_shapes))
+
+
+def _v3_t_fwd(value, spatial_shapes, locT, attnT):
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _in_mesh_context():
+        P = _t_n_points(value, attnT, shapes)
+        out = _sharded_fwd_t(shapes, P)(value, locT, attnT)
+    else:
+        out = _v3_t_impl(value, shapes, locT, attnT)
+    return out, (value, locT, attnT)
+
+
+def _v3_t_bwd(spatial_shapes, res, dout):
+    value, locT, attnT = res
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _in_mesh_context():
+        P = _t_n_points(value, attnT, shapes)
+        return _sharded_bwd_t(shapes, P)(value, locT, attnT, dout)
+    return _v3_t_bwd_impl(value, locT, attnT, dout, shapes)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_fused_t(value, spatial_shapes, locT, attnT):
     """Fused deformable sampling on pre-transposed coordinate operands.
@@ -941,6 +1070,14 @@ def ms_deform_attn_fused_t(value, spatial_shapes, locT, attnT):
     Q are garbage (they sample wherever the padded coords point) and must
     be sliced off. Backward returns (d_value, d_locT, d_attnT) in the same
     flat layouts.
+
+    Mesh-capable: under an active mesh both passes run through
+    custom_partitioning rules mirroring `ms_deform_attn_fused` — batch,
+    head (a block row-slice of the h-major flat rows), and query axes
+    shard without gathers; the backward psums the query-partial d_value
+    over the q mesh axes. Under 'seq' sharding the caller must keep each
+    shard's q slice a multiple of the query tile
+    (models/transformer.py:_q_tile_unit pads the token axis accordingly).
     """
     return _v3_t_impl(value, spatial_shapes, locT, attnT)
 

@@ -40,18 +40,42 @@ def _xla_bwd(value, loc, attn, dout, spatial_shapes):
     return vjp(dout)
 
 
+def _t_xla_fwd(value, spatial_shapes, locT, attnT):
+    """XLA twin of _v3_t_impl: flat (B, F, Q) layouts -> sep core."""
+    B, S, H, D = value.shape
+    L = len(spatial_shapes)
+    P = attnT.shape[1] // (H * L)
+    Qp = locT.shape[2]
+    loc = locT.transpose(0, 2, 1).reshape(B, Qp, H, L, P, 2)
+    attn = attnT.transpose(0, 2, 1).reshape(B, Qp, H, L, P)
+    S_lv = sum(h * w for h, w in spatial_shapes)
+    out = ms_deform_attn_sep(value[:, :S_lv], spatial_shapes, loc, attn)
+    return out.astype(value.dtype)
+
+
+def _t_xla_bwd(value, locT, attnT, dout, spatial_shapes):
+    _, vjp = jax.vjp(
+        lambda v, l, a: _t_xla_fwd(v, spatial_shapes, l, a),
+        value, locT, attnT)
+    return vjp(dout)
+
+
 @pytest.fixture(autouse=True)
 def _xla_inner(monkeypatch):
     monkeypatch.setattr(v3, "ms_deform_attn_pallas_v3", _xla_fwd)
     monkeypatch.setattr(v3, "_v3_bwd_impl", _xla_bwd)
+    monkeypatch.setattr(v3, "_v3_t_impl", _t_xla_fwd)
+    monkeypatch.setattr(v3, "_v3_t_bwd_impl", _t_xla_bwd)
     # the custom_partitioning wrappers are cached per spatial_shapes and
     # resolve the module globals at call time, so the patch reaches them;
     # clear anyway so rules rebuilt per test see a clean state.
-    v3._sharded_fwd.cache_clear()
-    v3._sharded_bwd.cache_clear()
+    for c in (v3._sharded_fwd, v3._sharded_bwd,
+              v3._sharded_fwd_t, v3._sharded_bwd_t):
+        c.cache_clear()
     yield
-    v3._sharded_fwd.cache_clear()
-    v3._sharded_bwd.cache_clear()
+    for c in (v3._sharded_fwd, v3._sharded_bwd,
+              v3._sharded_fwd_t, v3._sharded_bwd_t):
+        c.cache_clear()
 
 
 def _inputs(rng, B=4, Q=13, H=4, D=8):
@@ -156,6 +180,68 @@ def test_fused_grads_query_sharded(rng):
     for a, b in zip(gr, gv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def _t_inputs(rng, B=4, Q=16, H=4, D=8):
+    """Inputs in the T entry's flat layouts (Q already tile-aligned for the
+    patched XLA twin; the real kernel's _QT constraint is exercised by
+    tests/test_deform_attn_fused_t.py in interpret mode)."""
+    value, loc, attn = _inputs(rng, B=B, Q=Q, H=H, D=D)
+    locT = loc.reshape(B, Q, -1).transpose(0, 2, 1)      # (B, H*L*P*2, Q)
+    attnT = attn.reshape(B, Q, -1).transpose(0, 2, 1)    # (B, H*L*P, Q)
+    return value, loc, attn, locT, attnT
+
+
+def test_fused_t_fwd_sharded_matches_unsharded(rng):
+    """T entry (VERDICT r4 #2): b/h sharding native, no operand gathers."""
+    value, loc, attn, locT, attnT = _t_inputs(rng)
+    ref = ms_deform_attn_xla(value, SHAPES, loc, attn)
+
+    mesh = _mesh()
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P("data", None, "model", None)))
+        ls = jax.device_put(locT, NamedSharding(mesh, P("data", "model", None)))
+        as_ = jax.device_put(attnT, NamedSharding(mesh, P("data", "model", None)))
+        fn = jax.jit(lambda v, l, a: v3.ms_deform_attn_fused_t(v, SHAPES, l, a))
+        out = fn(vs, ls, as_)
+        hlo = fn.lower(vs, ls, as_).compile().as_text()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert "all-gather" not in hlo, "T fwd should shard over b/h without gathers"
+
+
+def test_fused_t_grads_batch_query_head_sharded(rng):
+    """T entry under the full dp x sp x tp train-mesh shape: forward and all
+    three gradients match the unsharded XLA reference; d_value is psummed
+    over the 'seq' (query) axis by the partition impl."""
+    value, loc, attn, locT, attnT = _t_inputs(rng)
+    Q = loc.shape[1]
+
+    def loss_ref(v, l, a):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_xla(v, SHAPES, l, a)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, attn)
+    # reference grads in the flat T layouts
+    B = value.shape[0]
+    gr_locT = gr[1].reshape(B, Q, -1).transpose(0, 2, 1)
+    gr_attnT = gr[2].reshape(B, Q, -1).transpose(0, 2, 1)
+
+    def loss_t(v, l, a):
+        return jnp.sum(jnp.sin(
+            3.0 * v3.ms_deform_attn_fused_t(v, SHAPES, l, a)[:, :Q]))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "seq", "model"))
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P("data", None, "model", None)))
+        ls = jax.device_put(locT, NamedSharding(mesh, P("data", "model", "seq")))
+        as_ = jax.device_put(attnT, NamedSharding(mesh, P("data", "model", "seq")))
+        gv = jax.jit(jax.grad(loss_t, argnums=(0, 1, 2)))(vs, ls, as_)
+    np.testing.assert_allclose(np.asarray(gv[0]), np.asarray(gr[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv[1]), np.asarray(gr_locT),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv[2]), np.asarray(gr_attnT),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_fused_grads_batch_query_head_sharded(rng):

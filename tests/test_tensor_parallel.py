@@ -164,6 +164,110 @@ def test_dp_sp_tp_train_step():
     np.testing.assert_allclose(loss_3d, loss_dp, rtol=1e-5)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_fused_t_model_path_under_mesh(monkeypatch):
+    """VERDICT r4 #2: the transposed-native fused entry must be the SAME
+    kernel entry under a dp x sp x tp mesh as single-device — no fallback to
+    the legacy staging path. The model runs with enc impl 'fused' under the
+    mesh (Pallas inners swapped for XLA twins, as in
+    test_deform_attn_fused_sharded.py — pallas interpret mode can't cross
+    the SPMD partitioner) and must match the unsharded 'sep' result, while
+    the T entry is asserted to actually engage in the mesh context."""
+    from poet_tpu.models import build_model
+    from poet_tpu.ops import deform_attn_pallas_v3 as v3
+    from poet_tpu.parallel.tp import create_mesh_3d
+    from tests.test_deform_attn_fused_sharded import _t_xla_fwd, _t_xla_bwd
+
+    calls = {"t_impl": 0}
+
+    def counting_t_fwd(value, spatial_shapes, locT, attnT):
+        calls["t_impl"] += 1
+        return _t_xla_fwd(value, spatial_shapes, locT, attnT)
+
+    monkeypatch.setattr(v3, "_v3_t_impl", counting_t_fwd)
+    monkeypatch.setattr(v3, "_v3_t_bwd_impl", _t_xla_bwd)
+    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+        c.cache_clear()
+
+    cfg, model, images, pad_mask, targets = _setup(B=4)
+    cfg.model.enc_deform_impl = "sep"
+    model_sep = build_model(cfg)
+    params = jax.jit(model_sep.init)(
+        jax.random.PRNGKey(1), images, pad_mask, targets)
+    out_ref = jax.jit(
+        lambda p, i: model_sep.apply(p, i, pad_mask, targets, deterministic=True)
+    )(params, images)
+
+    cfg.model.enc_deform_impl = "fused"
+    model_fused = build_model(cfg)
+    mesh = create_mesh_3d(2, 2, 2)
+    with jax.set_mesh(mesh):
+        p = shard_params(params, mesh)
+        batch = shard_batch({"images": images, "pad_mask": pad_mask, **targets}, mesh)
+        tg = {k: batch[k] for k in targets}
+        out_sh = jax.jit(
+            lambda p, i, m, t: model_fused.apply(p, i, m, t, deterministic=True)
+        )(p, batch["images"], batch["pad_mask"], tg)
+    assert calls["t_impl"] > 0, "T entry did not engage under the mesh"
+    np.testing.assert_allclose(
+        np.asarray(out_sh["translations"]), np.asarray(out_ref["translations"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+        c.cache_clear()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_fused_t_train_step_under_mesh(monkeypatch):
+    """The FULL train step (fwd + match + losses + bwd + opt) with the T
+    entry under dp x sp x tp — the r4 gap was precisely that multi-chip
+    TRAINING regressed to the staging path; the backward must partition
+    (q-partial d_value psum) and match the dp-only sep loss."""
+    from poet_tpu.models import build_model
+    from poet_tpu.ops import deform_attn_pallas_v3 as v3
+    from poet_tpu.parallel.tp import create_mesh_3d
+    from tests.test_deform_attn_fused_sharded import _t_xla_fwd, _t_xla_bwd
+
+    monkeypatch.setattr(v3, "_v3_t_impl", _t_xla_fwd)
+    monkeypatch.setattr(v3, "_v3_t_bwd_impl", _t_xla_bwd)
+    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+        c.cache_clear()
+
+    cfg, model, images, pad_mask, targets = _setup(B=8)
+    # dropout draws different bits on the fused path's tile-padded token
+    # axis than on sep's unpadded one — zero it so the cross-impl loss
+    # comparison is exact (partitioning correctness is what's under test)
+    cfg.model.dropout = 0.0
+    cfg.model.enc_deform_impl = "sep"
+    model_sep = build_model(cfg)
+    params = jax.jit(model_sep.init)(
+        jax.random.PRNGKey(0), images, pad_mask, targets)
+    tx = make_optimizer(cfg, params, steps_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+
+    def run(mesh, model):
+        step_fn = make_train_step(model, cfg, tx, donate=False)
+        with jax.set_mesh(mesh):
+            p = shard_params(params, mesh)
+            state = TrainState(params=p, opt_state=shard_opt_state(tx, p),
+                               step=jnp.zeros((), jnp.int32))
+            batch = shard_batch(
+                {"images": images, "pad_mask": pad_mask, **targets}, mesh)
+            tg = {k: batch[k] for k in targets}
+            new_state, metrics = step_fn(
+                state, batch["images"], batch["pad_mask"], tg, rng)
+            jax.block_until_ready(new_state)
+        return float(metrics["loss"])
+
+    loss_dp = run(create_mesh_3d(8, 1, 1), model_sep)
+    cfg.model.enc_deform_impl = "fused"
+    loss_3d = run(create_mesh_3d(2, 2, 2), build_model(cfg))
+    assert np.isfinite(loss_3d)
+    np.testing.assert_allclose(loss_3d, loss_dp, rtol=1e-5)
+    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+        c.cache_clear()
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_backbone_mode_sharded_matches_single_device():
