@@ -128,8 +128,21 @@ def make_optimizer(cfg: PoETConfig, params, steps_per_epoch: int) -> optax.Gradi
 
 def make_loss_fn(model, cfg: PoETConfig) -> Callable:
     mcfg = cfg.model
+    # bf16 configs: cast the bf16-compute weight subtree ONCE at the top of
+    # the step instead of letting flax convert each kernel at use site.
+    # Bit-identical (the module would produce the same bf16 value from the
+    # f32 leaf; f32 islands — offsets/heads/embeds — stay f32), but the
+    # casts hoist OUT of the rematerialized encoder layers (which otherwise
+    # re-convert their kernels during the backward re-forward) and group
+    # into one pass XLA can schedule once. Master params, grads, and the
+    # optimizer stay f32 — the cast's vjp converts cotangents back.
+    pre_cast = mcfg.dtype == "bfloat16"
 
     def loss_fn(params, images, pad_mask, targets, dropout_rng):
+        if pre_cast:
+            from poet_tpu.utils.params import cast_params_for_inference
+
+            params = cast_params_for_inference(params)
         outputs = model.apply(
             params, images, pad_mask, targets,
             deterministic=False,

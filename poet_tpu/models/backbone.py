@@ -50,17 +50,23 @@ class MaskRCNNDetectorBackbone(nn.Module):
         det_kwargs = {}
         if self.anchor_sizes is not None:
             det_kwargs["anchor_sizes"] = self.anchor_sizes
-        # box decode / score / NMS arithmetic stays f32 for ranking stability;
-        # RoIAlign + box head pool in the backbone compute dtype (bf16 in
-        # production — halves the pooling HBM traffic)
+        # box decode / score / NMS arithmetic stays f32 for ranking stability
+        # in every setting. At bf16 compute (production) the detector HEADS
+        # (RPN convs, fc6/fc7, predictor) also run bf16 on the native maps —
+        # r5: they were silently promoting to f32 MXU rates; the reference's
+        # deployed figure is TensorRT fp16 (README.md:35). At f32 the path
+        # is bit-identical to the torch oracle.
+        bf16 = jnp.dtype(self.dtype) == jnp.bfloat16
         dets = MaskRCNNDetector(
             num_classes=self.num_classes,
             max_detections=self.max_detections,
             post_nms_top_n=self.post_nms_top_n,
             name="detector",
+            dtype=jnp.bfloat16 if bf16 else None,
             **det_kwargs,
-        )({k: v.astype(jnp.float32) for k, v in feats.items()}, images.shape[1:3],
-          pool_feats=feats)
+        )(feats if bf16
+          else {k: v.astype(jnp.float32) for k, v in feats.items()},
+          images.shape[1:3], pool_feats=feats)
 
         if self.obj_id_map is not None:
             raw = dets["labels"]

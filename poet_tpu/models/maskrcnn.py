@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, List, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,20 +101,32 @@ def clip_boxes(boxes: jnp.ndarray, image_size) -> jnp.ndarray:
 
 
 class RPNHead(nn.Module):
-    """torchvision RPNHead: shared 3x3 conv + 1x1 objectness / deltas."""
+    """torchvision RPNHead: shared 3x3 conv + 1x1 objectness / deltas.
+
+    `dtype` is the conv compute dtype. At the default f32 this matches the
+    torch oracle bit-for-bit; bf16 is the production setting (the heads are
+    the detect+pose path's biggest f32 block — the shared 3x3 over the
+    stride-4 level alone is ~2.8e11 MAC/batch, and f32 runs the MXU at a
+    fraction of its bf16 rate; the reference's own deployed figure is
+    TensorRT fp16, README.md:35). Box decode / scoring / NMS stay f32
+    downstream either way."""
 
     num_anchors: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]):
-        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="conv")
-        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits")
-        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred")
+        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="conv",
+                       dtype=self.dtype)
+        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits",
+                      dtype=self.dtype)
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred",
+                      dtype=self.dtype)
         logits, deltas = [], []
         for f in feats:
             t = nn.relu(conv(f))
-            logits.append(cls(t))
-            deltas.append(reg(t))
+            logits.append(cls(t).astype(jnp.float32))
+            deltas.append(reg(t).astype(jnp.float32))
         return logits, deltas
 
 
@@ -148,12 +160,16 @@ class TwoMLPHead(nn.Module):
 
     padded_in: Tuple[int, int, int, int] = None
     output_size: int = 7          # must equal the RoI align's output_size
+    # compute dtype: None = flax-style promotion (f32 with f32 params — the
+    # torch-oracle parity setting); bf16 = production (the 16k-RoI fc6/fc7
+    # matmuls are the RoI path's dominant MACs and f32 wastes the MXU)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         if self.padded_in is None:
             x = x.reshape(x.shape[0], -1)
-            x = nn.relu(nn.Dense(1024, name="fc6")(x))
+            x = nn.relu(nn.Dense(1024, name="fc6", dtype=self.dtype)(x))
         else:
             Hp, Wp, Cp, C = self.padded_in
             o = self.output_size
@@ -167,7 +183,8 @@ class TwoMLPHead(nn.Module):
             w = jnp.transpose(w, (1, 2, 0, 3))                 # (7,7,C,1024)
             w = jnp.pad(w, ((0, Hp - o), (0, Wp - o), (0, Cp - C), (0, 0)))
             # nn.Dense dtype promotion: inputs/params promote jointly
-            dt = jnp.promote_types(x.dtype, fc6.kernel.dtype)
+            dt = (self.dtype if self.dtype is not None
+                  else jnp.promote_types(x.dtype, fc6.kernel.dtype))
             # contract the (Hp, Wp, Cp) block axes directly: dot_general with
             # three contracting dims lets XLA fold the flatten into the
             # matmul instead of materializing a (N, Hp*Wp*Cp) relayout copy
@@ -178,17 +195,21 @@ class TwoMLPHead(nn.Module):
                 x, w.astype(dt),
                 dimension_numbers=(((1, 2, 3), (0, 1, 2)), ((), ())))
             x = nn.relu(x + fc6.bias.astype(dt))
-        x = nn.relu(nn.Dense(1024, name="fc7")(x))
+        x = nn.relu(nn.Dense(1024, name="fc7", dtype=self.dtype)(x))
         return x
 
 
 class FastRCNNPredictor(nn.Module):
     num_classes: int
+    dtype: Any = None       # None = promotion (f32); bf16 = production
 
     @nn.compact
     def __call__(self, x):
-        scores = nn.Dense(self.num_classes, name="cls_score")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        # scores/deltas feed f32 softmax + box decode + NMS ranking
+        scores = nn.Dense(self.num_classes, name="cls_score",
+                          dtype=self.dtype)(x).astype(jnp.float32)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred",
+                          dtype=self.dtype)(x).astype(jnp.float32)
         return scores, deltas
 
 
@@ -221,26 +242,41 @@ class MaskRCNNDetector(nn.Module):
     # anchor sizes per FPN level, from the rcnn YAML `anchor_sizes` key
     # (parity: backbone_maskrcnn.py:26-33 builds the AnchorGenerator from it)
     anchor_sizes: Tuple[Tuple[int, ...], ...] = ANCHOR_SIZES
+    # head conv/matmul compute dtype (RPN convs, fc6/fc7, predictor). None =
+    # flax promotion (f32 with f32 params — the torch-oracle parity setting,
+    # bit-matched by tests/test_detector_numeric_parity.py). bf16 = the
+    # production setting (r5): the RPN 3x3 over the stride-4 level and the
+    # 16k-RoI fc6/fc7 are the detect+pose path's dominant MACs and were
+    # silently running at f32 MXU rates. ALL ranking arithmetic — objectness
+    # top-k, box decode, score softmax, NMS — stays f32 downstream (the
+    # heads emit f32) in both settings.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, fpn_feats: Dict[str, jnp.ndarray], image_size: Tuple[int, int],
                  pool_feats: Dict[str, jnp.ndarray] = None):
         """`fpn_feats` drive the RPN and all ranking arithmetic (callers pass
-        f32 for score/NMS stability). `pool_feats`, when given, are the same
-        maps in the model's COMPUTE dtype and feed only RoIAlign + the box
-        head — at bf16 that halves the dominant HBM traffic of the detector
-        (the r2 profile's 245 ms corner gathers ran on upcast-f32 features)
-        while box ranking stays f32."""
+        f32 for score/NMS stability at dtype=None; at dtype=bf16 the RPN
+        reads the native maps and only its OUTPUTS are f32). `pool_feats`,
+        when given, are the same maps in the model's COMPUTE dtype and feed
+        only RoIAlign + the box head — at bf16 that halves the dominant HBM
+        traffic of the detector (the r2 profile's 245 ms corner gathers ran
+        on upcast-f32 features) while box ranking stays f32."""
         levels = ["0", "1", "2", "3", "pool"]
         feats = [fpn_feats[k] for k in levels]
         roi_feats = [(pool_feats or fpn_feats)[k] for k in levels]
+        if self.dtype is not None:
+            # bf16 heads read the native maps — the caller's f32 upcast of
+            # the stride-4 pyramid (~470 MB/batch of copy traffic) is unused
+            feats = roi_feats
         B = feats[0].shape[0]
         grid_sizes = [f.shape[1:3] for f in feats]
         # torchvision computes strides per axis: image_size // grid_size
         strides = [(image_size[0] // g[0], image_size[1] // g[1]) for g in grid_sizes]
         n_anchors = len(self.anchor_sizes[0]) * len(ASPECT_RATIOS)
 
-        logits, deltas = RPNHead(n_anchors, name="rpn_head")(feats)
+        logits, deltas = RPNHead(n_anchors, name="rpn_head",
+                                 dtype=self.dtype or jnp.float32)(feats)
         anchors = [
             jnp.asarray(a)
             for a in generate_anchors(grid_sizes, strides, sizes=self.anchor_sizes)
@@ -309,7 +345,8 @@ class MaskRCNNDetector(nn.Module):
             _, _, Mo, _, Cp = pooled.shape
             C_feat = roi_feats[0].shape[-1]
             x = TwoMLPHead(name="box_head", padded_in=(Mo, Mo, Cp, C_feat),
-                           output_size=7)(pooled.reshape(B * P, -1))
+                           output_size=7, dtype=self.dtype)(
+                pooled.reshape(B * P, -1))
         else:
             if impl == "flat":
                 pooled = jax.vmap(
@@ -328,9 +365,9 @@ class MaskRCNNDetector(nn.Module):
             P = pooled.shape[1]
             # torchvision flattens NCHW: (C, 7, 7) order
             pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(B * P, -1)
-            x = TwoMLPHead(name="box_head")(pooled)
+            x = TwoMLPHead(name="box_head", dtype=self.dtype)(pooled)
         class_logits, box_deltas = FastRCNNPredictor(
-            self.num_classes, name="box_predictor"
+            self.num_classes, name="box_predictor", dtype=self.dtype
         )(x)
         ncls = self.num_classes
         scores = jax.nn.softmax(class_logits, axis=-1).reshape(B, P, ncls)

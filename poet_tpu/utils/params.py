@@ -20,9 +20,12 @@ keeps f32 params so numerics are untouched:
   * level_embed / query_embed / learned position embeddings (f32 adds),
   * the Mask R-CNN RPN + RoI heads (f32-compute, models/maskrcnn.py).
 
-This is an inference-only transform: training keeps f32 master weights (the
-optimizer updates them), matching the reference's f32 training
-(/root/reference/main.py has no AMP).
+Training uses the same transform INSIDE the step (engine/train.py
+make_loss_fn): master weights, grads, and the optimizer stay f32 (matching
+the reference's f32 training, /root/reference/main.py has no AMP), but the
+per-use casts hoist to one pass at the step top — outside the rematerialized
+encoder layers, which otherwise re-convert their kernels during the backward
+re-forward.
 """
 
 from __future__ import annotations
@@ -42,8 +45,11 @@ _F32_ISLANDS = (
 )
 
 # path components that mark a bf16-compute subtree (dtype=<compute dtype>
-# flows into every Dense/Conv there)
-_BF16_SUBTREES = ("fpn_body", "body", "transformer")
+# flows into every Dense/Conv there). "detector" (r5): the Mask R-CNN RPN +
+# RoI head convs/matmuls compute bf16 in bf16 configs (models/maskrcnn.py
+# `dtype`; ranking arithmetic downstream stays f32 and bf16 configs are the
+# only callers of this transform, so at-rest bf16 is bit-identical there).
+_BF16_SUBTREES = ("fpn_body", "body", "transformer", "detector")
 _BF16_PREFIXES = ("input_proj_",)
 
 
