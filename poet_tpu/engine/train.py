@@ -199,8 +199,15 @@ def make_train_step(model, cfg: PoETConfig, tx: optax.GradientTransformation, do
 def make_eval_forward(model, cfg: PoETConfig):
     """Jitted eval forward + final-layer matching (engine.py:119-141)."""
     mcfg = cfg.model
+    pre_cast = mcfg.dtype == "bfloat16"
 
     def forward(params, images, pad_mask, targets):
+        if pre_cast:
+            # same hoisted weight cast as the train step (bit-identical;
+            # eval during training receives the f32 master tree)
+            from poet_tpu.utils.params import cast_params_for_inference
+
+            params = cast_params_for_inference(params)
         outputs = model.apply(params, images, pad_mask, targets, deterministic=True)
         match = match_poses(
             outputs["pred_boxes"], outputs["pred_classes"],

@@ -39,9 +39,13 @@ mkdir -p "$WORK/annotations" "$WORK/test_all"
 
 # 1. BOP scene dirs -> PoET-COCO annotation JSON (split name 'test' so the
 #    standard split map picks it up; file_names stay <SPLIT>/<scene>/rgb/...)
+#    REPRO_KEYFRAMES=1 restricts YCB-V to the vendored 2,949-frame keyframe
+#    list (dataset_files/keyframes.txt) — the paper's eval split.
+KF_FLAG=()
+if [ "${REPRO_KEYFRAMES:-0}" = "1" ]; then KF_FLAG=(--keyframes vendored); fi
 python -m poet_tpu.data.converters \
     --dataset "$DATASET" --base_path "$BOP_DIR" --split "$SPLIT" \
-    --types real --output "$WORK/annotations/test.json"
+    --types real --output "$WORK/annotations/test.json" "${KF_FLAG[@]}"
 
 # 2. PoET directory layout: the loader opens <dataset_path>/test_all/<file_name>
 #    and the evaluator reads <dataset_path>/models_eval; link both into WORK.
