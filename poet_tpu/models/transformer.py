@@ -35,7 +35,7 @@ from poet_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
 from poet_tpu.ops.deform_attn_pallas_v3 import (
     _QT,
     ms_deform_attn_fused,
-    ms_deform_attn_fused_t,
+    ms_deform_attn_fused_t2,
 )
 
 
@@ -186,10 +186,23 @@ class MSDeformAttn(nn.Module):
             ref_rows = jnp.take(refT, jnp.asarray(l_of * 2 + coord_of),
                                 axis=1)                   # (B, F2, Q_pad)
             locT = ref_rows + offsetsT * inv_rows[None, :, None]
-            out = ms_deform_attn_fused_t(
-                value, tuple(spatial_shapes), locT, attnT)[:, :Q]
-            return nn.Dense(self.d_model, name="output_proj",
-                            dtype=self.dtype)(out)
+            # T2 entry: result stays kernel-native (B, H*D, Q_pad) in
+            # value.dtype (cast in-kernel); the output projection contracts
+            # that leading feature axis directly, absorbing the
+            # (B,H,D,Q)->(B,Q,H*D) relayout the T entry paid as a separate
+            # full-tensor pass per layer (fwd AND bwd). Param tree matches
+            # nn.Dense(name="output_proj") exactly (_ProjParams).
+            outT = ms_deform_attn_fused_t2(
+                value, tuple(spatial_shapes), locT, attnT)  # (B, HD, Q_pad)
+            wk_out, b_out = _ProjParams(
+                self.d_model, kernel_init=nn.initializers.lecun_normal(),
+                name="output_proj")(H * head_dim)
+            dt = self.dtype
+            proj = jax.lax.dot_general(
+                outT.astype(dt), wk_out.astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dt)                # (B, Q_pad, C)
+            return (proj + b_out.astype(dt)[None, None])[:, :Q]
 
         offsets = nn.Dense(
             H * L * P * 2,
@@ -496,6 +509,16 @@ class DeformableTransformer(nn.Module):
             nn.remat(EncoderLayer, static_argnums=(4, 6)) if self.remat else EncoderLayer
         )
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios, src_flat.dtype)
+        if src_flat.shape[1] != S_tokens:
+            # token axis was pre-padded above: pad the reference grid ONCE
+            # to match, with -10 (scales to a pixel coord matching nothing,
+            # same convention as the kernel's query padding). Without this
+            # every encoder layer re-pads its (B, F, S) locT chain from
+            # S_tokens to S_pad — measured 0.63 ms/layer at YOLO scale.
+            enc_ref = jnp.pad(
+                enc_ref,
+                ((0, 0), (0, src_flat.shape[1] - S_tokens), (0, 0), (0, 0)),
+                constant_values=-10.0)
         out = shard_tokens(src_flat)
         for i in range(self.num_encoder_layers):
             out = enc_layer_cls(

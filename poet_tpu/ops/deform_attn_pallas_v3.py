@@ -256,7 +256,7 @@ def _fwd_kernel(loc_ref, attn_ref, *rest, spatial_shapes, H, D, dtype,
                     gT.reshape(Hl, D, Qt)
                     * ops[p][1].astype(g_dtype)[:, None, :], axis=0)
                 acc = acc + part.astype(_F32)
-        out_ref[0, h] = acc
+        out_ref[0, h] = acc.astype(out_ref.dtype)
         return 0
 
     # static unroll over heads: measured 3.62 vs 3.95 ms/layer with a
@@ -291,11 +291,14 @@ def ms_deform_attn_pallas_v3(
     return out.reshape(B, Q, H * D).astype(value.dtype)
 
 
-def _fwd_core(vT_levels, locT, attnT, spatial_shapes, dtype):
+def _fwd_core(vT_levels, locT, attnT, spatial_shapes, dtype, out_dtype=None):
     """The forward pallas_call on already-staged operands.
 
     vT_levels per (B, H, Hl*D, Wl); locT (B, H*L*P*2, Q_pad) f32 raw
-    normalized; attnT (B, H*L*P, Q_pad) f32 -> (B, H, D, Q_pad) f32."""
+    normalized; attnT (B, H*L*P, Q_pad) f32 -> (B, H, D, Q_pad) in
+    `out_dtype` (default f32 — the T2 entry asks for value.dtype so the
+    f32->bf16 cast happens in-kernel on the VMEM accumulator instead of as
+    a separate XLA convert pass over the full output)."""
     B, H = vT_levels[0].shape[:2]
     D = vT_levels[0].shape[2] // spatial_shapes[0][0]
     L = len(spatial_shapes)
@@ -326,7 +329,7 @@ def _fwd_core(vT_levels, locT, attnT, spatial_shapes, dtype):
         in_specs=[loc_spec, attn_spec, *v_specs],
         out_specs=pl.BlockSpec((1, Hg, D, _QT), lambda b, g, q: (b, g, 0, q),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), _F32),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), out_dtype or _F32),
     )(locT, attnT, *vT_levels)
 
 
@@ -1083,3 +1086,183 @@ def ms_deform_attn_fused_t(value, spatial_shapes, locT, attnT):
 
 
 ms_deform_attn_fused_t.defvjp(_v3_t_fwd, _v3_t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# T2 entry: transposed-native on BOTH sides. Same staged operands as the T
+# entry, but the result stays in the kernel's own (B, H*D, Q_pad) layout —
+# value.dtype, cast in-kernel from the f32 accumulator. The caller applies
+# the output projection as a dot_general that contracts the leading H*D
+# axis, so the (B,H,D,Q)->(B,Q,H*D) relayout pass the T entry pays per
+# layer (a full ~0.6 ms HBM round-trip at YOLO scale, forward AND backward
+# — the adjoint un-transposed dout before the kernels) becomes a free
+# by-product of the projection matmul. models/transformer.py is the
+# intended caller.
+# ---------------------------------------------------------------------------
+
+
+def _v3_t2_impl(value, spatial_shapes, locT, attnT):
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    Q_pad = locT.shape[2]
+    assert Q_pad % _QT == 0, (Q_pad, _QT)
+    vT_levels = _prep_value(value, shapes)
+    out = _fwd_core(vT_levels, locT, attnT, shapes, value.dtype,
+                    out_dtype=value.dtype)               # (B, H, D, Q_pad)
+    return out.reshape(B, H * D, Q_pad)                  # free: dims adjacent
+
+
+def _v3_t2_bwd_impl(value, locT, attnT, dout, spatial_shapes):
+    """T2 adjoint: dout arrives already in the kernel-native (B, H*D, Q_pad)
+    layout, so — unlike the T entry — no transpose pass precedes the
+    backward kernels, only a dtype convert."""
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, H, D = value.shape
+    Q_pad = locT.shape[2]
+    vT_levels = _prep_value(value, shapes)
+    do = dout.reshape(B, H, D, Q_pad).astype(_F32)
+    d_value, dlocT, daT = _bwd_twokernel_core(
+        value, vT_levels, locT, attnT, do, shapes)
+    S_lv = sum(h * w for h, w in shapes)
+    if S_lv < S:
+        d_value = jnp.pad(d_value, ((0, 0), (0, S - S_lv), (0, 0), (0, 0)))
+    return d_value, dlocT, daT
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd_t2(spatial_shapes, n_points):
+    def _impl(value, locT, attnT):
+        return _v3_t2_impl(value, spatial_shapes, locT, attnT)
+
+    f = custom_partitioning(_impl)
+
+    def _bqh(arg_shapes):
+        value_s, loc_s, attn_s = arg_shapes
+        b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0) or _axis_at(attn_s, 0))
+        h = (_axis_at(value_s, 2) or _axis_at(loc_s, 1) or _axis_at(attn_s, 1))
+        q = _axis_at(loc_s, 2) or _axis_at(attn_s, 2)
+        return b, q, h
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, q, h = _bqh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b, h, q))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, q, h = _bqh(arg_shapes)
+        arg_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+        out_sh = NamedSharding(mesh, PartitionSpec(b, h, q))
+        return mesh, _impl, out_sh, arg_sh
+
+    L = len(spatial_shapes)
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # output rows are (h d)-major: a head shard is a block row-slice of
+        # the output exactly as it is of locT/attnT
+        sharding_rule="b s h d, b (h f2) q, b (h f1) q -> b (h d) q",
+        need_replication_factors=("s", "d", "f2", "f1"),
+        f2=L * n_points * 2, f1=L * n_points,
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd_t2(spatial_shapes, n_points):
+    def _raw(value, locT, attnT, dout):
+        return _v3_t2_bwd_impl(value, locT, attnT, dout, spatial_shapes)
+
+    f = custom_partitioning(_raw)
+
+    def _bhq(arg_shapes):
+        value_s, loc_s, attn_s, dout_s = arg_shapes
+        b = (_axis_at(value_s, 0) or _axis_at(loc_s, 0)
+             or _axis_at(dout_s, 0))
+        h = (_axis_at(value_s, 2) or _axis_at(loc_s, 1)
+             or _axis_at(attn_s, 1) or _axis_at(dout_s, 1))
+        q = (_axis_at(loc_s, 2) or _axis_at(attn_s, 2)
+             or _axis_at(dout_s, 2))
+        return b, h, q
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h, q = _bhq(arg_shapes)
+        return (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h, q = _bhq(arg_shapes)
+        q_axes = (q,) if isinstance(q, str) else tuple(q or ())
+
+        def impl(value, locT, attnT, dout):
+            d_value, dlocT, daT = _v3_t2_bwd_impl(value, locT, attnT, dout,
+                                                  spatial_shapes)
+            if q_axes:
+                d_value = jax.lax.psum(d_value, q_axes)
+            return d_value, dlocT, daT
+
+        arg_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+        out_sh = (
+            NamedSharding(mesh, PartitionSpec(b, None, h, None)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+            NamedSharding(mesh, PartitionSpec(b, h, q)),
+        )
+        return mesh, impl, out_sh, arg_sh
+
+    L = len(spatial_shapes)
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b s h d, b (h f2) q, b (h f1) q, b (h d) q "
+                       "-> b s h d, b (h f2) q, b (h f1) q"),
+        need_replication_factors=("s", "d", "f2", "f1"),
+        f2=L * n_points * 2, f1=L * n_points,
+    )
+    return f
+
+
+def _v3_t2_fwd(value, spatial_shapes, locT, attnT):
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _in_mesh_context():
+        P = _t_n_points(value, attnT, shapes)
+        out = _sharded_fwd_t2(shapes, P)(value, locT, attnT)
+    else:
+        out = _v3_t2_impl(value, shapes, locT, attnT)
+    return out, (value, locT, attnT)
+
+
+def _v3_t2_bwd(spatial_shapes, res, dout):
+    value, locT, attnT = res
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _in_mesh_context():
+        P = _t_n_points(value, attnT, shapes)
+        return _sharded_bwd_t2(shapes, P)(value, locT, attnT, dout)
+    return _v3_t2_bwd_impl(value, locT, attnT, dout, shapes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_fused_t2(value, spatial_shapes, locT, attnT):
+    """`ms_deform_attn_fused_t` with a kernel-native RESULT layout.
+
+    Same operands; returns (B, H*D, Q_pad) in value.dtype (rows h-major, so
+    row block h*D..(h+1)*D is head h — a head shard is a block row-slice).
+    The caller applies the output projection by contracting axis 1, which
+    absorbs the (B,H,D,Q)->(B,Q,H*D) relayout the T entry pays as a
+    separate full-tensor pass per layer — in the forward AND the backward
+    (the T adjoint must un-transpose dout; here dout arrives
+    kernel-native). Mesh rules mirror the T entry with the output's q/h
+    axes swapped."""
+    return _v3_t2_impl(value, spatial_shapes, locT, attnT)
+
+
+ms_deform_attn_fused_t2.defvjp(_v3_t2_fwd, _v3_t2_bwd)

@@ -60,22 +60,38 @@ def _t_xla_bwd(value, locT, attnT, dout, spatial_shapes):
     return vjp(dout)
 
 
+def _t2_xla_fwd(value, spatial_shapes, locT, attnT):
+    """XLA twin of _v3_t2_impl: kernel-native (B, H*D, Q_pad) result."""
+    return _t_xla_fwd(value, spatial_shapes, locT, attnT).transpose(0, 2, 1)
+
+
+def _t2_xla_bwd(value, locT, attnT, dout, spatial_shapes):
+    _, vjp = jax.vjp(
+        lambda v, l, a: _t2_xla_fwd(v, spatial_shapes, l, a),
+        value, locT, attnT)
+    return vjp(dout)
+
+
+_ALL_CACHES = ("_sharded_fwd", "_sharded_bwd", "_sharded_fwd_t",
+               "_sharded_bwd_t", "_sharded_fwd_t2", "_sharded_bwd_t2")
+
+
 @pytest.fixture(autouse=True)
 def _xla_inner(monkeypatch):
     monkeypatch.setattr(v3, "ms_deform_attn_pallas_v3", _xla_fwd)
     monkeypatch.setattr(v3, "_v3_bwd_impl", _xla_bwd)
     monkeypatch.setattr(v3, "_v3_t_impl", _t_xla_fwd)
     monkeypatch.setattr(v3, "_v3_t_bwd_impl", _t_xla_bwd)
+    monkeypatch.setattr(v3, "_v3_t2_impl", _t2_xla_fwd)
+    monkeypatch.setattr(v3, "_v3_t2_bwd_impl", _t2_xla_bwd)
     # the custom_partitioning wrappers are cached per spatial_shapes and
     # resolve the module globals at call time, so the patch reaches them;
     # clear anyway so rules rebuilt per test see a clean state.
-    for c in (v3._sharded_fwd, v3._sharded_bwd,
-              v3._sharded_fwd_t, v3._sharded_bwd_t):
-        c.cache_clear()
+    for name in _ALL_CACHES:
+        getattr(v3, name).cache_clear()
     yield
-    for c in (v3._sharded_fwd, v3._sharded_bwd,
-              v3._sharded_fwd_t, v3._sharded_bwd_t):
-        c.cache_clear()
+    for name in _ALL_CACHES:
+        getattr(v3, name).cache_clear()
 
 
 def _inputs(rng, B=4, Q=13, H=4, D=8):
@@ -264,3 +280,56 @@ def test_fused_grads_batch_query_head_sharded(rng):
     for a, b in zip(gr, gv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_t2_fwd_sharded_matches_unsharded(rng):
+    """T2 entry (kernel-native result layout): b/h sharding native, no
+    operand gathers; the output's head axis is dim 1."""
+    value, loc, attn, locT, attnT = _t_inputs(rng)
+    ref = ms_deform_attn_xla(value, SHAPES, loc, attn)
+
+    mesh = _mesh()
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P("data", None, "model", None)))
+        ls = jax.device_put(locT, NamedSharding(mesh, P("data", "model", None)))
+        as_ = jax.device_put(attnT, NamedSharding(mesh, P("data", "model", None)))
+        fn = jax.jit(lambda v, l, a: v3.ms_deform_attn_fused_t2(v, SHAPES, l, a))
+        out = fn(vs, ls, as_)
+        hlo = fn.lower(vs, ls, as_).compile().as_text()
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1),
+                               np.asarray(ref), atol=1e-5)
+    assert "all-gather" not in hlo, "T2 fwd should shard over b/h without gathers"
+
+
+def test_fused_t2_grads_batch_query_head_sharded(rng):
+    """T2 under the full dp x sp x tp train-mesh shape: forward and all
+    three gradients match the unsharded XLA reference; dout arrives
+    kernel-native (B, H*D, Q) and d_value is psummed over 'seq'."""
+    value, loc, attn, locT, attnT = _t_inputs(rng)
+    Q = loc.shape[1]
+
+    def loss_ref(v, l, a):
+        return jnp.sum(jnp.sin(3.0 * ms_deform_attn_xla(v, SHAPES, l, a)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, attn)
+    B = value.shape[0]
+    gr_locT = gr[1].reshape(B, Q, -1).transpose(0, 2, 1)
+    gr_attnT = gr[2].reshape(B, Q, -1).transpose(0, 2, 1)
+
+    def loss_t2(v, l, a):
+        out = v3.ms_deform_attn_fused_t2(v, SHAPES, l, a)   # (B, HD, Q)
+        return jnp.sum(jnp.sin(3.0 * out.transpose(0, 2, 1)[:, :Q]))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "seq", "model"))
+    with jax.set_mesh(mesh):
+        vs = jax.device_put(value, NamedSharding(mesh, P("data", None, "model", None)))
+        ls = jax.device_put(locT, NamedSharding(mesh, P("data", "model", "seq")))
+        as_ = jax.device_put(attnT, NamedSharding(mesh, P("data", "model", "seq")))
+        gv = jax.jit(jax.grad(loss_t2, argnums=(0, 1, 2)))(vs, ls, as_)
+    np.testing.assert_allclose(np.asarray(gv[0]), np.asarray(gr[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv[1]), np.asarray(gr_locT),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv[2]), np.asarray(gr_attnT),
+                               atol=1e-4, rtol=1e-4)

@@ -17,6 +17,7 @@ from poet_tpu.ops.deform_attn_pallas_v3 import (
     _QT,
     ms_deform_attn_fused,
     ms_deform_attn_fused_t,
+    ms_deform_attn_fused_t2,
 )
 
 SHAPES = ((10, 14), (5, 7), (3, 4))
@@ -147,6 +148,56 @@ def test_fused_t_padded_token_axis(rng):
     np.testing.assert_allclose(np.asarray(g_pad[:, :S_lv]),
                                np.asarray(g_ref), atol=2e-4, rtol=2e-4)
     np.testing.assert_array_equal(np.asarray(g_pad[:, S_lv:]), 0.0)
+
+
+def test_fused_t2_matches_t(rng):
+    """T2 (kernel-native (B, H*D, Q_pad) result) is the T entry's output
+    transposed — values identical, forward and backward."""
+    value, loc, attn = _make(rng, Q=24)
+    Q = loc.shape[1]
+    locT, attnT, Q_pad = _to_T(loc, attn)
+    B, _, H, D = value.shape
+    with _interpret():
+        out_t = ms_deform_attn_fused_t(value, SHAPES, locT, attnT)
+        out_t2 = ms_deform_attn_fused_t2(value, SHAPES, locT, attnT)
+    assert out_t2.shape == (B, H * D, Q_pad)
+    assert out_t2.dtype == value.dtype
+    np.testing.assert_allclose(
+        np.asarray(out_t2).transpose(0, 2, 1), np.asarray(out_t),
+        atol=1e-6, rtol=1e-6)
+
+    def f_t(value, loc, attn):
+        lT, aT, _ = _to_T(loc, attn)
+        return jnp.sum(jnp.sin(
+            ms_deform_attn_fused_t(value, SHAPES, lT, aT)[:, :Q]))
+
+    def f_t2(value, loc, attn):
+        lT, aT, _ = _to_T(loc, attn)
+        return jnp.sum(jnp.sin(
+            ms_deform_attn_fused_t2(value, SHAPES, lT, aT)
+            .transpose(0, 2, 1)[:, :Q]))
+
+    with _interpret():
+        g_t = jax.grad(f_t, argnums=(0, 1, 2))(value, loc, attn)
+        g_t2 = jax.grad(f_t2, argnums=(0, 1, 2))(value, loc, attn)
+    for a, b in zip(g_t2, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_fused_t2_bf16_output_dtype(rng):
+    """bf16 value -> bf16 kernel output (the in-kernel cast), matching the
+    T entry's XLA-side astype to <= 1 ulp."""
+    value, loc, attn = _make(rng)
+    locT, attnT, _ = _to_T(loc, attn)
+    v16 = value.astype(jnp.bfloat16)
+    with _interpret():
+        out_t = ms_deform_attn_fused_t(v16, SHAPES, locT, attnT)
+        out_t2 = ms_deform_attn_fused_t2(v16, SHAPES, locT, attnT)
+    assert out_t2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_t2.transpose(0, 2, 1), dtype=np.float32),
+        np.asarray(out_t, dtype=np.float32), atol=1e-2, rtol=1e-2)
 
 
 @pytest.fixture

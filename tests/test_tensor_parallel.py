@@ -176,17 +176,17 @@ def test_fused_t_model_path_under_mesh(monkeypatch):
     from poet_tpu.models import build_model
     from poet_tpu.ops import deform_attn_pallas_v3 as v3
     from poet_tpu.parallel.tp import create_mesh_3d
-    from tests.test_deform_attn_fused_sharded import _t_xla_fwd, _t_xla_bwd
+    from tests.test_deform_attn_fused_sharded import _t2_xla_fwd, _t2_xla_bwd
 
     calls = {"t_impl": 0}
 
-    def counting_t_fwd(value, spatial_shapes, locT, attnT):
+    def counting_t2_fwd(value, spatial_shapes, locT, attnT):
         calls["t_impl"] += 1
-        return _t_xla_fwd(value, spatial_shapes, locT, attnT)
+        return _t2_xla_fwd(value, spatial_shapes, locT, attnT)
 
-    monkeypatch.setattr(v3, "_v3_t_impl", counting_t_fwd)
-    monkeypatch.setattr(v3, "_v3_t_bwd_impl", _t_xla_bwd)
-    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+    monkeypatch.setattr(v3, "_v3_t2_impl", counting_t2_fwd)
+    monkeypatch.setattr(v3, "_v3_t2_bwd_impl", _t2_xla_bwd)
+    for c in (v3._sharded_fwd_t2, v3._sharded_bwd_t2):
         c.cache_clear()
 
     cfg, model, images, pad_mask, targets = _setup(B=4)
@@ -213,7 +213,7 @@ def test_fused_t_model_path_under_mesh(monkeypatch):
         np.asarray(out_sh["translations"]), np.asarray(out_ref["translations"]),
         atol=1e-5, rtol=1e-5,
     )
-    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+    for c in (v3._sharded_fwd_t2, v3._sharded_bwd_t2):
         c.cache_clear()
 
 
@@ -226,11 +226,11 @@ def test_fused_t_train_step_under_mesh(monkeypatch):
     from poet_tpu.models import build_model
     from poet_tpu.ops import deform_attn_pallas_v3 as v3
     from poet_tpu.parallel.tp import create_mesh_3d
-    from tests.test_deform_attn_fused_sharded import _t_xla_fwd, _t_xla_bwd
+    from tests.test_deform_attn_fused_sharded import _t2_xla_fwd, _t2_xla_bwd
 
-    monkeypatch.setattr(v3, "_v3_t_impl", _t_xla_fwd)
-    monkeypatch.setattr(v3, "_v3_t_bwd_impl", _t_xla_bwd)
-    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+    monkeypatch.setattr(v3, "_v3_t2_impl", _t2_xla_fwd)
+    monkeypatch.setattr(v3, "_v3_t2_bwd_impl", _t2_xla_bwd)
+    for c in (v3._sharded_fwd_t2, v3._sharded_bwd_t2):
         c.cache_clear()
 
     cfg, model, images, pad_mask, targets = _setup(B=8)
@@ -264,7 +264,7 @@ def test_fused_t_train_step_under_mesh(monkeypatch):
     loss_3d = run(create_mesh_3d(2, 2, 2), build_model(cfg))
     assert np.isfinite(loss_3d)
     np.testing.assert_allclose(loss_3d, loss_dp, rtol=1e-5)
-    for c in (v3._sharded_fwd_t, v3._sharded_bwd_t):
+    for c in (v3._sharded_fwd_t2, v3._sharded_bwd_t2):
         c.cache_clear()
 
 
