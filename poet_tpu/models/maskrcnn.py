@@ -185,15 +185,31 @@ class TwoMLPHead(nn.Module):
             # nn.Dense dtype promotion: inputs/params promote jointly
             dt = (self.dtype if self.dtype is not None
                   else jnp.promote_types(x.dtype, fc6.kernel.dtype))
-            # contract the (Hp, Wp, Cp) block axes directly: dot_general with
-            # three contracting dims lets XLA fold the flatten into the
-            # matmul instead of materializing a (N, Hp*Wp*Cp) relayout copy
-            # (tiled TPU layouts of the 5-D block and the 2-D matrix differ
-            # physically — the reshape measured 1.6 ms/iter at 16k RoIs)
             x = x.reshape(x.shape[0], Hp, Wp, Cp).astype(dt)
-            x = jax.lax.dot_general(
-                x, w.astype(dt),
-                dimension_numbers=(((1, 2, 3), (0, 1, 2)), ((), ())))
+            if os.environ.get("POET_FC6_CONV", "1") == "1":
+                # Express fc6 as an (Hp, Wp) VALID convolution over the
+                # pooled block (batch = RoIs, C minor — the Pallas RoI
+                # align's NATIVE output layout). Identical contraction; the
+                # r5 xplane profile showed the dot_general formulation
+                # below still paying a 1.7 ms/iter relayout copy at 16k
+                # RoIs because the dot's chosen lhs layout puts the RoI
+                # axis minor, while the conv lowering consumes C-minor
+                # NHWC directly.
+                y = jax.lax.conv_general_dilated(
+                    x, w.astype(dt), window_strides=(1, 1),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = y.reshape(y.shape[0], y.shape[-1])
+            else:
+                # contract the (Hp, Wp, Cp) block axes directly: dot_general
+                # with three contracting dims lets XLA fold the flatten into
+                # the matmul instead of materializing a (N, Hp*Wp*Cp)
+                # relayout copy (tiled TPU layouts of the 5-D block and the
+                # 2-D matrix differ physically — the reshape measured
+                # 1.6 ms/iter at 16k RoIs)
+                x = jax.lax.dot_general(
+                    x, w.astype(dt),
+                    dimension_numbers=(((1, 2, 3), (0, 1, 2)), ((), ())))
             x = nn.relu(x + fc6.bias.astype(dt))
         x = nn.relu(nn.Dense(1024, name="fc7", dtype=self.dtype)(x))
         return x

@@ -262,6 +262,13 @@ class DarknetBody(nn.Module):
                     y = jax.nn.sigmoid(y)
                 elif act != "linear":
                     raise NotImplementedError(f"activation {act}")
+                if (filters <= 64 and y.shape[1] * y.shape[2] >= 240 * 320
+                        and os.environ.get("POET_YOLO_STEM_BARRIER", "0") == "1"):
+                    # layout-isolation experiment for the small-C stem convs
+                    # (scripts/bench_stem_chain.py: the chained stem costs
+                    # 9.5 ms vs a 5.3 ms standalone sum; barriers recover
+                    # 1.6 ms by stopping cross-conv layout propagation)
+                    y = jax.lax.optimization_barrier(y)
                 x = y
             elif t == "route":
                 layers = _ints(sec["layers"])

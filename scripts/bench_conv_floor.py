@@ -206,12 +206,15 @@ def main():
     feats = [jnp.asarray(rng.normal(size=(B, h, w, ch)), jnp.bfloat16)
              for h, w, ch in [(120, 160, 256), (60, 80, 512),
                               (30, 40, 1024), (15, 20, 2048)]]
-    fpn = FPN(256, dtype=jnp.bfloat16, levels=(0, 1, 2, 3))
+    fpn = FPN(256, dtype=jnp.bfloat16, levels=("0", "1", "2", "3", "pool"))
     pf = jax.jit(fpn.init)(jax.random.PRNGKey(0), feats)
 
     def fpn_fn(p, f0, c):
         fs = [f0 * (1 + c * 1e-9)] + feats[1:]
-        return fpn.apply(p, fs)["3"]
+        outs = fpn.apply(p, fs)
+        # consume every level (returning one would DCE the finer-level convs)
+        return sum(jnp.sum(v[:1, :1, :1].astype(jnp.float32))
+                   for v in outs.values())
     dt_fpn = time_group(fpn_fn, pf, feats[0])
 
     # ---- measured: RPN head on the 5 FPN levels ----
@@ -228,7 +231,8 @@ def main():
 
     # ---- measured: box head (fc6 padded + fc7) at 16000 RoIs ----
     pooled = jnp.asarray(rng.normal(size=(16000, 8 * 8 * 256)), jnp.bfloat16)
-    head = TwoMLPHead(padded_in=(8, 8, 256, 256), output_size=7)
+    head = TwoMLPHead(padded_in=(8, 8, 256, 256), output_size=7,
+                      dtype=jnp.bfloat16)
     ph = jax.jit(head.init)(jax.random.PRNGKey(0), pooled)
 
     def head_fn(p, x, c):

@@ -97,7 +97,7 @@ def conv_bwfold(x, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y.reshape(B, H // 2, W // 2, O)
     top = jax.lax.conv_general_dilated(
-        x2[:, :2].reshape(B, 2, W // 2, 2 * C), w2[1:],
+        x[:, :2].reshape(B, 2, W // 2, 2 * C), w2[1:],
         window_strides=(2, 1), padding=[(0, 0), (1, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return jnp.concatenate([top, y[:, 1:]], axis=1)
@@ -134,7 +134,7 @@ def main():
                 @jax.jit
                 def loop(x, k, salt):
                     def body(i, c):
-                        y = mish(fn(x + c * 1e-9 + salt, k))
+                        y = mish(fn(x + (c * 1e-9 + salt).astype(x.dtype), k))
                         return jnp.sum(y[0, -1, -1].astype(jnp.float32))
                     return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
                 return lambda s: float(loop(x16, k16, jnp.bfloat16(s)))
