@@ -263,11 +263,16 @@ class DarknetBody(nn.Module):
                 elif act != "linear":
                     raise NotImplementedError(f"activation {act}")
                 if (filters <= 64 and y.shape[1] * y.shape[2] >= 240 * 320
-                        and os.environ.get("POET_YOLO_STEM_BARRIER", "0") == "1"):
-                    # layout-isolation experiment for the small-C stem convs
-                    # (scripts/bench_stem_chain.py: the chained stem costs
-                    # 9.5 ms vs a 5.3 ms standalone sum; barriers recover
-                    # 1.6 ms by stopping cross-conv layout propagation)
+                        and os.environ.get("POET_YOLO_STEM_BARRIER", "1") == "1"):
+                    # layout isolation for the small-C stem convs — exact
+                    # (identity): scripts/bench_stem_chain.py measured the
+                    # chained stem at 9.5 ms vs a 5.3 ms standalone sum
+                    # because each conv's chosen layout poisons the next;
+                    # barriers stop the cross-conv layout propagation
+                    # (full-pyramid A/B: 127.2 -> 128.4 img/s). The exact
+                    # batch-fold / width-s2d reformulations both measured
+                    # worse (scripts/bench_stem_fold.py, documented
+                    # negative); POET_YOLO_STEM_BARRIER=0 for A/Bs.
                     y = jax.lax.optimization_barrier(y)
                 x = y
             elif t == "route":

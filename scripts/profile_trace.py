@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import collections
 import glob
 import re
@@ -31,15 +32,13 @@ def run_workload(which: str, iters: int, trace_dir: str, impl: str = None):
     if which not in ("fwd", "train", "detect", "yolo"):
         raise SystemExit(f"unknown workload {which!r}")
 
-    B = 16
+    B = int(os.environ.get("POET_PROFILE_B", "16"))
     cfg, model, images, pad_mask, targets = _flagship_setup(B=B, H=480, W=640)
     if which in ("detect", "yolo"):
         # detector-in-the-loop (bbox_mode='backbone') configs — the bench.py
         # maskrcnn_detect_pose / yolov4_full_pyramid workloads. The flagship
         # model above only supplied the input tensors; its params are never
         # initialized for these branches.
-        import os
-
         from poet_tpu.config import PoETConfig
         from poet_tpu.models import build_model
         from poet_tpu.utils.params import cast_params_for_inference
